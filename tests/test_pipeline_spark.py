@@ -1,0 +1,82 @@
+"""The north_rule contract: Spark pipeline output == oracle, span for span."""
+
+from __future__ import annotations
+
+import pytest
+
+from vietnamese_ocr_spark.plans.extract import broadcast_weights, extract_df, run_extract
+
+
+def _collect_extracted(df):
+    out = {}
+    for row in df.collect():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def spark_extracted(spark, corpus):
+    documents = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    extracted, rec = extract_df(spark, documents, media)
+    return _collect_extracted(extracted)
+
+
+def test_span_equality_vs_oracle(spark_extracted, golden):
+    """(kind, text, media_ref, order) per doc — the BASELINE.json invariant."""
+    assert set(spark_extracted) == set(golden)
+    for doc_id, want in golden.items():
+        assert spark_extracted[doc_id] == want, doc_id
+
+
+def test_empty_doc_survives(spark_extracted):
+    assert spark_extracted["doc-00000000"] == []
+
+
+def test_run_extract_commits_and_resumes(spark, corpus, tmp_path, golden):
+    out = str(tmp_path / "table")
+    r1 = run_extract(spark, corpus["documents"], corpus["media"], out)
+    assert r1["total_docs"] == len(golden)
+    assert r1["snapshot_id"] == 1
+    # resume over a complete table: nothing new to do, docs stay constant
+    r2 = run_extract(spark, corpus["documents"], corpus["media"], out)
+    assert r2["total_docs"] == len(golden)
+    assert r2["snapshot_id"] == 2
+    final = spark.read.parquet(out + "/extracted")
+    assert final.count() == len(golden)
+
+
+def test_resume_after_partial_run_equals_full_run(spark, corpus, tmp_path, golden):
+    """Kill-and-resume: extract half the docs, then resume; the union must
+    equal a single full run (north_rule 'resumable from checkpoint')."""
+    out = str(tmp_path / "partial")
+    docs = spark.read.parquet(corpus["documents"])
+    half = docs.filter("doc_id < 'doc-00000100'")
+    from vietnamese_ocr_spark.sources.tableio import ExtractTable
+
+    table = ExtractTable(out)
+    weights_bc = broadcast_weights(spark)
+    media = spark.read.parquet(corpus["media"])
+    extracted, _ = extract_df(spark, half, media, weights_bc)
+    table.append_extracted(extracted)
+    table.commit("partial", {})
+
+    run_extract(spark, corpus["documents"], corpus["media"], out, weights_bc=weights_bc)
+    got = _collect_extracted(spark.read.parquet(out + "/extracted"))
+    assert got == {k: v for k, v in golden.items()}
+
+
+def test_lineage_table_written(spark, corpus, tmp_path):
+    out = str(tmp_path / "lin")
+    run_extract(spark, corpus["documents"], corpus["media"], out)
+    lin = spark.read.parquet(out + "/lineage")
+    rows = lin.collect()
+    assert len(rows) >= 1
+    total_media = sum(r["media_count"] for r in rows)
+    n_media = spark.read.parquet(corpus["media"]).count()
+    assert total_media == n_media  # every distinct payload recognized once
+    for r in rows:
+        assert len(r["conf_histogram"]) == 10
+        assert r["snapshot_id"] == 1 and r["run_id"]

@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local defaults are tuned for the sandbox (local[32], 128 GiB); on a real
+cluster the same knobs are what you'd set per-job via spark-submit. AQE is
+on so skewed shuffles re-plan at runtime; Arrow batches are capped so the
+OCR mapInPandas stage holds at most ~few-MB of decoded images per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# decoded canvas is 64x256 float64 = 128 KiB/row inside the UDF; 256 rows
+# per Arrow batch bounds the Python worker at ~32 MiB working set while
+# amortizing the model forward (reference batch sizes 32-200,
+# src/utils/inference.py:44, trainer.py:177).
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "vietnamese-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # local[N]: shuffle partitions ~ cores; a 1000-executor cluster would
+    # instead size this to ~2-3x total cores (or leave AQE coalescing on).
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = cpus if n == "*" else int(n)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()

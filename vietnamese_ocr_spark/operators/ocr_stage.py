@@ -1,0 +1,103 @@
+"""The single vectorized OCR stage: mapInPandas over Arrow batches.
+
+This is the engine's only Python-side operator on the media path. Each Arrow
+batch (<= spark.sql.execution.arrow.maxRecordsPerBatch rows of PNG bytes) is
+decoded and preprocessed with NumPy, stacked (legal because P4 canonicalizes
+every image to 64x256, src/utils/transform.py:46-53), and pushed through the
+shared Recognizer in sub-batches of 32 (the reference's inference batch
+size, src/utils/inference.py:44). Never per-row Python at the Spark level.
+
+Weights travel as ONE broadcast of the .npz bytes and are hydrated into a
+module-level singleton on first use per Python worker — the Spark analog of
+the reference loading its checkpoint once per process
+(src/utils/inference.py:20-28; SURVEY.md §4 X8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.imaging import png_decode, preprocess
+from ..model.recognizer import Recognizer, weights_from_bytes
+
+OCR_OUTPUT_SCHEMA = (
+    "media_ref string, rec_text string, conf_hist array<bigint>, "
+    "n_tokens bigint, part_id int"
+)
+MODEL_BATCH = 32  # src/utils/inference.py:44
+
+_RECOGNIZER: Recognizer | None = None
+
+
+def _hydrate(weights_bc) -> Recognizer:
+    global _RECOGNIZER
+    if _RECOGNIZER is None:
+        _RECOGNIZER = Recognizer(weights_from_bytes(weights_bc.value))
+    return _RECOGNIZER
+
+
+def make_ocr_stage(weights_bc):
+    """Returns the mapInPandas function closure over the weights broadcast."""
+
+    def ocr_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rec = _hydrate(weights_bc)
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            refs = pdf["media_ref"].tolist()
+            pngs = pdf["png"].tolist()
+            texts: list[str] = []
+            hists: list[list[int]] = []
+            ntoks: list[int] = []
+            for lo in range(0, len(pngs), MODEL_BATCH):
+                chunk = pngs[lo : lo + MODEL_BATCH]
+                imgs = np.stack([preprocess(png_decode(p)) for p in chunk])
+                t, h = rec.recognize(imgs)
+                texts.extend(t)
+                hists.extend(h.tolist())
+                ntoks.extend(int(x) for x in h.sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "rec_text": texts,
+                    "conf_hist": hists,
+                    "n_tokens": ntoks,
+                    "part_id": part_id,
+                }
+            )
+
+    return ocr_stage
+
+
+def size_bucket(col: Column, bucket_bytes: int = 4096) -> Column:
+    """Coarse payload-size bucket used as the salting dimension."""
+    return (col / F.lit(bucket_bytes)).cast("int")
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, weight_col: str = "size_b",
+                       salts_per_bucket: int = 8) -> DataFrame:
+    """Skew-defeating repartition before the OCR stage (north_rule; X-skew).
+
+    AQE's skew-join handling only rebalances *join* shuffles — a UDF stage
+    fed by a skewed key distribution still stalls on its whale partitions.
+    We shuffle on (size_bucket, salt) so same-cost rows spread uniformly:
+    every partition receives a similar mix of cheap and expensive images,
+    which keeps the mapInPandas stage's task times flat (SURVEY.md §4).
+    """
+    salted = df.withColumn(
+        "_salt",
+        F.concat_ws(
+            ":",
+            size_bucket(F.col(weight_col)),
+            F.pmod(F.xxhash64(F.col("media_ref")), F.lit(salts_per_bucket)),
+        ),
+    )
+    return salted.repartition(n_partitions, "_salt").drop("_salt")

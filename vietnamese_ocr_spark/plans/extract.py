@@ -1,0 +1,208 @@
+"""The end-to-end extraction plan (flagship pipeline).
+
+Logical plan, all declarative so Catalyst prunes/pushes/reorders freely
+(SURVEY.md §3 E1 Spark lifecycle):
+
+  documents ──posexplode(spans)──┬─ kind='text'  ─ normalize (JVM regexp) ─┐
+                                 └─ kind='media' ─ distinct media_ref       │
+                                        │  ⋈ media (pruned cols)            │
+                                        │  salted repartition(size,salt)    │
+                                        │  mapInPandas OCR  ── 'a' fallback │
+                                        └─ join back to media spans ────────┤
+                                                                   unionByName
+                                                              groupBy(doc_id)
+                                              sort_array(struct(offset,...))
+                                            + left join to keep empty docs
+  sinks: extracted parquet (append), lineage parquet (append), manifest.
+
+Scale notes (100 TB / 10^12 docs):
+  * only (media_ref, png, size_b) columns ever leave the media scan, and
+    the distinct-ref projection means each unique payload is OCR'd once no
+    matter how many docs reference it;
+  * images NEVER enter the stitch groupBy — the shuffle carries only
+    strings/ints (SURVEY.md §7 hard-point c);
+  * the recognized-text table is tiny relative to media (text <= 32 chars),
+    so joining it back to media spans is broadcast-eligible; we leave the
+    choice to AQE, which sees real sizes at runtime;
+  * resume = anti-join against the committed doc_id column (pruned scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, with_empty_fallback
+from ..model.recognizer import build_weights, weights_to_bytes
+from ..operators.ocr_stage import OCR_OUTPUT_SCHEMA, make_ocr_stage, salted_repartition
+from ..sources.tableio import ExtractTable
+
+EXTRACTED_SPAN_TYPE = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def broadcast_weights(spark: SparkSession):
+    """One driver-side build, one broadcast per app (X8)."""
+    return spark.sparkContext.broadcast(weights_to_bytes(build_weights()))
+
+
+def recognize_media_df(media: DataFrame, weights_bc, n_partitions: int | None = None) -> DataFrame:
+    """media(media_ref, png, size_b) -> (media_ref, rec_text, conf_hist,
+    n_tokens, part_id); salted repartition feeds the one OCR stage."""
+    spark = media.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    balanced = salted_repartition(media, n_partitions)
+    return balanced.mapInPandas(make_ocr_stage(weights_bc), schema=OCR_OUTPUT_SCHEMA)
+
+
+def stitch(spans: DataFrame) -> DataFrame:
+    """spans(doc_id, kind, text, media_ref, offset) -> (doc_id, spans[])
+    ordered by offset — the O2 replacement for the reference's unstable
+    os.listdir output order (src/utils/inference.py:105-111)."""
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("_sorted")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_sorted",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def extract_df(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    weights_bc=None,
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure-DataFrame pipeline: returns (extracted, ocr_rec).
+
+    `extracted` has the input_hint shape (doc_id, spans) with media spans
+    carrying recognized text; `ocr_rec` is the per-media recognition table
+    (kept separate so callers can derive lineage without recomputing).
+    """
+    weights_bc = weights_bc or broadcast_weights(spark)
+
+    span_cols = documents.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+    text_spans = span_cols.filter(F.col("kind") == "text").withColumn(
+        "text", normalize_text(F.col("text"))
+    )
+
+    media_spans = span_cols.filter(F.col("kind") == "media").drop("text")
+    needed = media_spans.select("media_ref").distinct()
+    payloads = media.select("media_ref", "png", "size_b").join(needed, "media_ref")
+    rec = recognize_media_df(payloads, weights_bc, n_partitions)
+    media_texts = rec.select(
+        "media_ref", with_empty_fallback(F.col("rec_text")).alias("text")
+    )
+    media_out = media_spans.join(media_texts, "media_ref").select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    )
+
+    unioned = text_spans.select("doc_id", "kind", "text", "media_ref", "offset").unionByName(
+        media_out
+    )
+    stitched = stitch(unioned)
+
+    # docs with spans=[] must survive with an empty array (FIXTURES.md edge)
+    extracted = (
+        documents.select("doc_id")
+        .join(stitched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("spans", F.array().cast(EXTRACTED_SPAN_TYPE)).alias("spans"),
+        )
+    )
+    return extracted, rec
+
+
+def lineage_df(rec: DataFrame, run_id: str, snapshot_id: int) -> DataFrame:
+    """Per-partition commit metrics (north_rule: row counts + confidence
+    histograms + lineage ids). Element-wise histogram sum via posexplode —
+    a narrow shuffle keyed on (part_id, bucket), never touching payloads."""
+    per_bucket = (
+        rec.select("part_id", F.posexplode("conf_hist").alias("bucket", "n"))
+        .groupBy("part_id", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    hist = (
+        per_bucket.groupBy("part_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("bucket", "n"))).alias("_h"),
+        )
+        .select("part_id", F.transform("_h", lambda s: s["n"]).alias("conf_histogram"))
+    )
+    counts = rec.groupBy("part_id").agg(
+        F.count("*").alias("media_count"),
+        F.sum("n_tokens").alias("token_count"),
+    )
+    return (
+        counts.join(hist, "part_id")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    documents_path: str,
+    media_path: str,
+    out_root: str,
+    resume: bool = True,
+    n_partitions: int | None = None,
+    weights_bc=None,
+) -> dict:
+    """Full job: read -> extract -> append extracted+lineage -> commit.
+
+    Resumable: a re-run after a partial failure anti-joins the already
+    committed doc_ids and only processes the remainder; re-running a
+    complete output is a no-op commit.
+    """
+    table = ExtractTable(out_root)
+    run_id = table.new_run_id()
+
+    documents = spark.read.parquet(documents_path)
+    if resume:
+        done = table.committed_doc_ids(spark)
+        if done is not None:
+            documents = documents.join(done, "doc_id", "left_anti")
+    media = spark.read.parquet(media_path)
+
+    extracted, rec = extract_df(spark, documents, media, weights_bc, n_partitions)
+    rec = rec.cache()  # reused by lineage; avoids re-running OCR
+    try:
+        snapshot_id = table.current_snapshot() + 1
+        table.append_extracted(extracted)
+        n_docs = spark.read.parquet(table.extracted_dir).count()
+        lineage = lineage_df(rec, run_id, snapshot_id)
+        table.append_lineage(lineage)
+        media_done = rec.count()
+        committed = table.commit(
+            run_id,
+            {"total_docs_committed": n_docs, "media_recognized_this_run": media_done},
+        )
+    finally:
+        rec.unpersist()
+    return {"run_id": run_id, "snapshot_id": committed, "total_docs": n_docs}

@@ -1,0 +1,92 @@
+"""Iceberg-style table IO shim: parquet + JSON manifest.
+
+The sandbox has no network and no iceberg-spark-runtime jar, so this module
+provides the same *interface* an Iceberg catalog would (SURVEY.md §7
+resolved decisions): append-only writes, a monotonically increasing
+snapshot id, committed-work tracking for resume, and an append-only metrics
+(lineage) table. If the Iceberg runtime is ever on the classpath,
+`iceberg_available()` flips and `write_table`/`read_table` can be pointed
+at `format("iceberg")` without touching the pipeline code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class ExtractTable:
+    """An output 'table' rooted at a directory: extracted/ lineage/ manifest.json."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.extracted_dir = os.path.join(root, "extracted")
+        self.lineage_dir = os.path.join(root, "lineage")
+        self.manifest_path = os.path.join(root, "manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {"snapshots": []}
+
+    def new_run_id(self) -> str:
+        return uuid.uuid4().hex[:12]
+
+    def commit(self, run_id: str, stats: dict) -> int:
+        """Append a snapshot entry; returns the new snapshot id."""
+        m = self.manifest()
+        snap_id = len(m["snapshots"]) + 1
+        m["snapshots"].append(
+            {
+                "snapshot_id": snap_id,
+                "run_id": run_id,
+                "committed_at_unix": time.time(),
+                **stats,
+            }
+        )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+        return snap_id
+
+    def current_snapshot(self) -> int:
+        snaps = self.manifest()["snapshots"]
+        return snaps[-1]["snapshot_id"] if snaps else 0
+
+    # -- data --------------------------------------------------------------
+    def has_data(self) -> bool:
+        return os.path.isdir(self.extracted_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.extracted_dir)
+        )
+
+    def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
+        """doc_ids already extracted — a column-pruned scan (only doc_id is
+        read from the parquet footer-indexed files), fed to the resume
+        anti-join (SURVEY.md §2.3 left-anti; north_rule 'resumable')."""
+        if not self.has_data():
+            return None
+        return spark.read.parquet(self.extracted_dir).select("doc_id")
+
+    def append_extracted(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.extracted_dir)
+
+    def append_lineage(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.lineage_dir)
