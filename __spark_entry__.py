@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship OCR-extraction pipeline on sf0.001 (interleaved
+                    corpus derived in-executors from the documents table).
+queries()         — one entry per implemented operator (SURVEY.md §2 +
+                    training-data operators); callables take (spark, sf_dir).
+oracle_sql()      — DuckDB-runnable ANSI SQL per query; the OCR pipeline
+                    entries are non-SQL-expressible (mapInPandas recognition)
+                    and are intentionally omitted -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
+
+
+def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: derive interleaved docs+media from the sf documents table,
+    run the full extraction pipeline (normalize + OCR + stitch)."""
+    from vietnamese_ocr_spark.plans.extract import extract_df
+    from vietnamese_ocr_spark.sources.sf_adapter import derive_documents, derive_media
+
+    # cache: the derived corpus is consumed by multiple plan branches
+    # (text path, media path, doc-id preservation join); with a real
+    # parquet/Iceberg input those would be cheap pruned scans instead
+    documents = derive_documents(spark, sf_dir).cache()
+    media = derive_media(spark, sf_dir).cache()
+    extracted, _ = extract_df(spark, documents, media)
+    return extracted
+
+
+def _ocr_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recognition table only: media_ref -> recognized text + confidence."""
+    from vietnamese_ocr_spark.plans.extract import broadcast_weights, recognize_media_df
+    from vietnamese_ocr_spark.sources.sf_adapter import derive_media
+
+    media = derive_media(spark, sf_dir)
+    return recognize_media_df(media, broadcast_weights(spark)).select(
+        "media_ref", "rec_text", "n_tokens"
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _ocr_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(QUERIES)
+    q["ocr_extract"] = _ocr_extract
+    q["ocr_recognize"] = _ocr_recognize
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

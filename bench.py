@@ -1,0 +1,86 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+
+Every query is forced end-to-end with the noop sink (full compute, no
+collect-to-driver cost). The flagship `ocr_extract` includes distributed
+corpus derivation + PNG render + decode + recognition + stitch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "ocr_extract",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "window_running_sum",
+    "sessionize",
+    "cer_corpus",
+    "vocab_build",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "similarity_topk",
+    "quality_score",
+]
+
+
+def force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from vietnamese_ocr_spark.config import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # session warmup (JVM/codegen), not counted
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship throughput: docs/sec through the full extraction pipeline
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs_per_sec = round(n_docs / timings["ocr_extract"], 2)
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship ocr_extract + relational/dedup/similarity)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "extra": {"ocr_docs_per_sec": docs_per_sec, "cpus": cpus},
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

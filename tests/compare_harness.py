@@ -1,0 +1,104 @@
+"""Local mirror of the driver's DuckDB-vs-Spark comparison.
+
+Compares row count, column names, and sorted values (exact for
+strings/ints, 1e-9 for floats) for every (queries, oracle_sql) pair.
+Usable as a script for fast iteration and imported by the pytest suite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+    return con
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_cell(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, float):
+            return round(v, 9)
+        if hasattr(v, "__int__") and not isinstance(v, (int, float, str)):
+            try:
+                return int(v)
+            except Exception:
+                return str(v)
+        return v
+
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def compare_one(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
+    from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLE_SQL[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns differ: spark={scols} duck={dcols}"
+    if len(srows) != len(drows):
+        return False, f"row count: spark={len(srows)} duck={len(drows)}"
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    for i, (a, b) in enumerate(zip(sn, dn)):
+        for x, y in zip(a, b):
+            if isinstance(x, float) or isinstance(y, float):
+                fx, fy = float(x), float(y)
+                if not (math.isclose(fx, fy, rel_tol=0, abs_tol=1e-9) or (math.isnan(fx) and math.isnan(fy))):
+                    return False, f"row {i}: {a} != {b}"
+            elif x != y:
+                return False, f"row {i}: {a} != {b}"
+    return True, f"{len(srows)} rows"
+
+
+def main(sf_dir: str, only: list[str] | None = None) -> int:
+    from vietnamese_ocr_spark.config import get_spark
+    from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    con = duck_connection(sf_dir)
+    failed = []
+    names = only or list(QUERIES)
+    for name in names:
+        if name not in ORACLE_SQL:
+            print(f"  (rows-only) {name}")
+            continue
+        try:
+            ok, msg = compare_one(name, spark, con, sf_dir)
+        except Exception as ex:
+            ok, msg = False, f"EXC {type(ex).__name__}: {str(ex)[:300]}"
+        print(("PASS" if ok else "FAIL"), name, "—", msg)
+        if not ok:
+            failed.append(name)
+    spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    sys.exit(main(sf, sys.argv[1:] or None))

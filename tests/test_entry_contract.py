@@ -1,0 +1,52 @@
+"""Mirror of the driver's verification: every queries() entry runs, and
+every oracle_sql() pair matches DuckDB value-for-value at sf0.01."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.compare_harness import compare_one, duck_connection  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+ORACLED = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "spans"]
+    # at least one media span got recognized text
+    assert any(
+        s["kind"] == "media" and s["text"] for r in rows for s in r["spans"]
+    )
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, spark, duck):
+    ok, msg = compare_one(name, spark, duck, SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, spark):
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0

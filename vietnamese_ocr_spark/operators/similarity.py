@@ -1,0 +1,61 @@
+"""Similarity search over embedding columns (array<float>).
+
+brute-force cosine top-k is the exact baseline; sign-LSH bucketing is the
+scale path (candidates within a bucket only). Dot products run as
+posexplode + sum — JVM-side, no Python. At 10^12 scale you'd pre-bucket
+(IVF/LSH) and only brute-force inside buckets, which is exactly the shape
+`lsh_buckets` + `cosine_topk` compose into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to the row with vec_id=query_vec_id.
+
+    The query vector is a one-row DataFrame joined by dimension position —
+    Catalyst broadcasts it, so the big side streams once with no shuffle
+    until the final (tiny) top-k sort.
+    """
+    dims = embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    qdims = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "qv"))
+    )
+    scored = (
+        dims.join(F.broadcast(qdims), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("nq"),
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-projection LSH: bucket = sign bits of the first n dims.
+
+    (With learned/random planes you'd dot against broadcast plane vectors;
+    axis-aligned planes keep the oracle SQL-expressible while exercising
+    the identical plan shape.) Returns bucket occupancy — the IVF-style
+    candidate-list sizes."""
+    bits = [
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_planes)
+    ]
+    return (
+        embeddings.select(F.concat(*bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )

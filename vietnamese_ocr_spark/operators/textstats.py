@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — no UDFs.
+Each has a 1:1 ANSI-SQL oracle in plans/queries.py checked by DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(text, " "))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Regex-tokenizer count: alpha runs, digit runs, other symbols."""
+    return F.regexp_count(text, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+
+def avg_word_len(text: Column) -> Column:
+    nw = word_count(text)
+    return F.round((F.length(text) - nw + 1) / nw, 6)
+
+
+def char_ratio(text: Column, char: str) -> Column:
+    """Frequency of one character — the unit of n-gram language ID."""
+    return F.round(
+        (F.length(text) - F.length(F.replace(text, F.lit(char), F.lit("")))) / F.length(text), 6
+    )
+
+
+def quality_stats(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / ratio quality signals + a keep/drop flag."""
+    nw = word_count(F.col("text"))
+    awl = avg_word_len(F.col("text"))
+    return docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        awl.alias("avg_word_len"),
+        char_ratio(F.col("text"), " ").alias("space_ratio"),
+        F.when((nw >= 20) & (awl >= 2.0) & (awl <= 8.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("quality_keep"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Character-frequency heuristic language ID (n-gram-lite).
+
+    Real corpora would score against per-language char/bigram profiles;
+    the synthetic corpus is English-ish words, so the heuristic thresholds
+    on 'a'-frequency + a marker word — the *shape* (pure projection,
+    groupBy rollup) is what scales."""
+    guess = (
+        F.when(F.instr(F.col("text"), "spark") > 0, F.lit("tech"))
+        .when(char_ratio(F.col("text"), "a") > 0.08, F.lit("latin-high-a"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.select("lang", guess.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def fingerprint(docs: DataFrame, window: int = 5) -> DataFrame:
+    """Winnowing-style document fingerprint: min hash over sliding
+    word-window shingles (rolling-hash analog, built-ins only);
+    docs shorter than the window fall back to md5(text)."""
+    from .dedup import add_shingles
+
+    sh = add_shingles(docs, window)
+    return sh.select(
+        "doc_id",
+        F.coalesce(
+            F.array_min(F.transform("shingles", lambda s: F.md5(s))),
+            F.md5(F.col("text")),
+        ).alias("fp"),
+    )

@@ -1,0 +1,674 @@
+"""Driver-contract query registry: Spark impl + ANSI-SQL oracle per operator.
+
+Every SQL-expressible operator from SURVEY.md §2 (plus the training-data
+pipeline operators: dedup, similarity, text analysis) ships here as a
+(queries[name], oracle_sql[name]) pair. The driver runs both at sf=0.01 and
+compares row count + schema + order-insensitive value hash, so:
+
+  * every computed column is aliased identically on both sides;
+  * money aggregates go through exact decimal(18,x) sums (associative —
+    immune to float reduction-order divergence between engines), then cast
+    to double;
+  * every hash is md5 (bit-identical across engines), never engine hash();
+  * floats that must travel are round()ed to 6 digits.
+
+Conventions: callables take (spark, sf_dir) and return a DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 2):
+    """Exact decimal sum cast back to double (cross-engine deterministic)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics operators (SURVEY.md §2)
+
+
+def q_vocab_build(spark, sf):  # A1 + O1: distinct chars -> sorted -> ids from 3
+    chars = (
+        t(spark, sf, "documents")
+        .select(F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .distinct()
+    )
+    w = Window.orderBy("ch")  # tiny cardinality (alphabet) — single partition OK
+    return chars.select("ch", (F.row_number().over(w) + 2).cast("long").alias("token_id"))
+
+
+def q_max_target_len(spark, sf):  # A2
+    return t(spark, sf, "documents").agg(F.max(F.length("text")).cast("long").alias("max_len"))
+
+
+def q_cer_corpus(spark, sf):  # A3: corpus CER = sum(lev)/sum(len)
+    d = t(spark, sf, "documents").select(
+        F.col("text"), F.regexp_replace("text", "[aeiou]", "").alias("pred")
+    )
+    lev = F.levenshtein("text", "pred")
+    return d.agg(
+        F.sum(lev).cast("long").alias("total_errors"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.sum(lev) / F.sum(F.length("text")), 6).alias("cer"),
+    )
+
+
+def q_label_join(spark, sf):  # J1: broadcast equi-join + rollup
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+def q_anti_join_resume(spark, sf):  # resume semantics: left-anti on committed keys
+    orders = t(spark, sf, "orders")
+    done = t(spark, sf, "customer").filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return (
+        orders.join(done, orders.o_custkey == done.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_empty_fallback(spark, sf):  # S7: empty prediction -> literal 'a'
+    stripped = F.regexp_replace("text", "[^k]", "")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.length(stripped) == 0, F.lit("a")).otherwise(stripped).alias("pred"),
+    )
+
+
+def q_prediction_format(spark, sf):  # F6: "{filename} {text}" sink lines
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.format_string("%s %s", F.col("doc_id").cast("string"), F.col("lang")).alias("line"),
+    )
+
+
+def q_split_99_1(spark, sf):  # B3: deterministic 99/1 train/val split
+    d = t(spark, sf, "documents")
+    split = F.when(F.col("doc_id") % 100 < 99, F.lit("train")).otherwise(F.lit("val"))
+    return d.groupBy(split.alias("split")).agg(F.count("*").alias("n"))
+
+
+def q_route_kind_counts(spark, sf):  # span routing filters (kind='text'/'media')
+    return t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_conf_histogram(spark, sf):  # A7: bucketed confidence histogram
+    bucket = F.least(F.greatest(F.floor(F.col("value") / 50.0), F.lit(0)), F.lit(9)).cast("int")
+    return (
+        t(spark, sf, "events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_lineage_counts(spark, sf):  # A8: per-"partition" row counts + sums
+    return (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+    )
+
+
+def q_stitch_order(spark, sf):  # O2: deterministic reassembly by explicit order key
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = d.select("source", F.col("doc_id").cast("string").alias("doc_id"),
+                      F.row_number().over(w).alias("rn")).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "doc_id"))).alias("_l"))
+        .select(
+            "source",
+            F.concat_ws(",", F.transform("_l", lambda s: s["doc_id"])).alias("top_docs"),
+        )
+    )
+
+
+def q_top1_argmax(spark, sf):  # O3: per-group argmax with deterministic tie-break
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t(spark, sf, "events")
+        .select("user_id", "event_type", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"),
+                F.round("value", 2).alias("top_value"))
+    )
+
+
+def q_best_metric_gate(spark, sf):  # A6: keep-best gate = running min over history
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.min("value"), 6).alias("best_value"))
+    )
+
+
+def q_running_mean(spark, sf):  # A4: running mean as exact sum/count
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(_dsum(F.col("value")) / F.count("*"), 6).alias("mean_value")
+    )
+
+
+def q_weighted_accuracy(spark, sf):  # A5: weighted fraction over groups
+    e = t(spark, sf, "events")
+    hit = F.when(F.col("value") > 10, 1).otherwise(0)
+    return e.groupBy("event_type").agg(
+        F.round(F.sum(hit) / F.count("*"), 6).alias("acc"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational skeleton (TPC-H-style over the driver tables)
+
+
+def q_tpch_q1(spark, sf):
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.round(_dsum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dsum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf):  # shipping-priority variant (schema lacks o_shippriority)
+    cust = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15 00:00:00")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15 00:00:00")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf):  # local-supplier volume
+    region = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    li = t(spark, sf, "lineitem")
+    supp = t(spark, sf, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+
+
+def q_window_running_sum(spark, sf):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("run_sum"),
+        )
+    )
+
+
+def q_sessionize(spark, sf):  # gap > 30 min starts a new session
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup_stats(t(spark, sf, "events"), "props")
+
+
+def q_dedup_minhash_sig(spark, sf):
+    return dedup.minhash_signatures(t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_bands(spark, sf):
+    return dedup.minhash_band_buckets(t(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash(t(spark, sf, "documents"))
+
+
+def q_dedup_jaccard(spark, sf):
+    # aggregate shape: candidate pairs above threshold (likely sparse)
+    pairs = dedup.jaccard_candidates(t(spark, sf, "documents"), threshold=0.3)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.coalesce(F.sum("jaccard"), F.lit(0.0)), 6).alias("sum_jaccard"),
+    )
+
+
+def q_similarity_topk(spark, sf):
+    return similarity.cosine_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_similarity_lsh(spark, sf):
+    return similarity.lsh_sign_buckets(t(spark, sf, "embeddings"))
+
+
+def q_lang_id(spark, sf):
+    return textstats.lang_id(t(spark, sf, "documents"))
+
+
+def q_quality_score(spark, sf):
+    return textstats.quality_stats(t(spark, sf, "documents"))
+
+
+def q_token_count(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.sum(textstats.word_count(F.col("text"))).cast("long").alias("n_words"),
+        F.sum(textstats.token_count_bpe_ish(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    return textstats.fingerprint(t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# the ANSI-SQL oracles (DuckDB dialect-compatible)
+
+ORACLE_SQL: dict[str, str] = {
+    "vocab_build": """
+        select ch, (row_number() over (order by ch) + 2)::bigint as token_id
+        from (select distinct ch
+              from (select unnest(string_split(text, '')) as ch from documents)
+              where ch <> '')
+    """,
+    "max_target_len": "select max(length(text))::bigint as max_len from documents",
+    "cer_corpus": """
+        with p as (select text, regexp_replace(text, '[aeiou]', '', 'g') as pred
+                   from documents)
+        select sum(levenshtein(text, pred))::bigint as total_errors,
+               sum(length(text))::bigint as total_chars,
+               round(sum(levenshtein(text, pred)) / sum(length(text)), 6) as cer
+        from p
+    """,
+    "label_join": """
+        select p_brand, count(*)::bigint as n_items,
+               (sum(l_extendedprice::decimal(18,2)))::double as revenue
+        from lineitem join part on l_partkey = p_partkey
+        group by p_brand
+    """,
+    "anti_join_resume": """
+        select o_orderstatus, count(*)::bigint as n_orders
+        from orders
+        where not exists (select 1 from customer
+                          where c_acctbal < 0 and c_custkey = o_custkey)
+        group by o_orderstatus
+    """,
+    "empty_fallback": """
+        select doc_id,
+               case when length(regexp_replace(text, '[^k]', '', 'g')) = 0 then 'a'
+                    else regexp_replace(text, '[^k]', '', 'g') end as pred
+        from documents
+    """,
+    "prediction_format": """
+        select doc_id, printf('%s %s', doc_id::varchar, lang) as line from documents
+    """,
+    "split_99_1": """
+        select case when doc_id % 100 < 99 then 'train' else 'val' end as split,
+               count(*)::bigint as n
+        from documents group by 1
+    """,
+    "route_kind_counts": """
+        select event_type, count(*)::bigint as n from events group by event_type
+    """,
+    "conf_histogram": """
+        select least(greatest(floor(value / 50.0), 0), 9)::int as bucket,
+               count(*)::bigint as n
+        from events group by 1
+    """,
+    "lineage_counts": """
+        select source, count(*)::bigint as n_docs, sum(n_chars)::bigint as total_chars
+        from documents group by source
+    """,
+    "stitch_order": """
+        select source, string_agg(doc_id::varchar, ',' order by rn) as top_docs
+        from (select source, doc_id,
+                     row_number() over (partition by source
+                                        order by n_chars desc, doc_id) as rn
+              from documents)
+        where rn <= 5
+        group by source
+    """,
+    "top1_argmax": """
+        select user_id, event_type as top_event, round(value, 2) as top_value
+        from (select user_id, event_type, value,
+                     row_number() over (partition by user_id
+                                        order by value desc, event_id) as rn
+              from events)
+        where rn = 1
+    """,
+    "best_metric_gate": """
+        select user_id, round(min(value), 6) as best_value from events group by user_id
+    """,
+    "running_mean": """
+        select event_type,
+               round((sum(value::decimal(18,2)))::double / count(*), 6) as mean_value
+        from events group by event_type
+    """,
+    "weighted_accuracy": """
+        select event_type,
+               round(sum(case when value > 10 then 1 else 0 end) / count(*), 6) as acc,
+               count(*)::bigint as n
+        from events group by event_type
+    """,
+    "tpch_q1": """
+        select l_returnflag, l_linestatus,
+               (sum(l_quantity::decimal(18,2)))::double as sum_qty,
+               (sum(l_extendedprice::decimal(18,2)))::double as sum_base_price,
+               (sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))))::double
+                   as sum_disc_price,
+               round((sum(l_quantity::decimal(18,2)))::double / count(*), 6) as avg_qty,
+               round((sum(l_discount::decimal(18,2)))::double / count(*), 6) as avg_disc,
+               count(*)::bigint as count_order
+        from lineitem
+        where l_shipdate <= timestamp '1998-09-02 00:00:00'
+        group by l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        select l_orderkey, o_orderpriority,
+               (sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))))::double
+                   as revenue
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        where c_mktsegment = 'BUILDING'
+          and o_orderdate < timestamp '1998-03-15 00:00:00'
+          and l_shipdate > timestamp '1998-03-15 00:00:00'
+        group by l_orderkey, o_orderpriority
+        order by revenue desc, l_orderkey
+        limit 10
+    """,
+    "tpch_q5": """
+        select n_name,
+               (sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))))::double
+                   as revenue
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join supplier on l_suppkey = s_suppkey
+        join nation on s_nationkey = n_nationkey
+        join region on n_regionkey = r_regionkey
+        where r_name = 'ASIA' and c_nationkey = s_nationkey
+          and o_orderdate >= timestamp '1996-01-01 00:00:00'
+          and o_orderdate < timestamp '1997-01-01 00:00:00'
+        group by n_name
+    """,
+    "window_running_sum": """
+        select user_id, event_id,
+               (sum(value::decimal(18,2)) over (partition by user_id
+                    order by ts, event_id
+                    rows between unbounded preceding and current row))::double as run_sum
+        from events
+    """,
+    "sessionize": """
+        with g as (select user_id,
+                          case when lag(ts) over w is null
+                                 or epoch(ts) - epoch(lag(ts) over w) > 1800
+                               then 1 else 0 end as ns
+                   from events
+                   window w as (partition by user_id order by ts, event_id))
+        select user_id, sum(ns)::bigint as n_sessions, count(*)::bigint as n_events
+        from g group by user_id
+    """,
+    "dedup_exact": """
+        select count(*)::bigint as n_total,
+               count(distinct md5(props))::bigint as n_unique,
+               (count(*) - count(distinct md5(props)))::bigint as n_dupes
+        from events
+    """,
+    "dedup_minhash_sig": """
+        with sh as (
+          select doc_id, text, string_split(text, ' ') as words,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents)
+        select doc_id,
+               coalesce(list_min(list_transform(shingles, s -> md5('0:' || s))),
+                        md5('0:' || text)) as mh0,
+               coalesce(list_min(list_transform(shingles, s -> md5('1:' || s))),
+                        md5('1:' || text)) as mh1,
+               coalesce(list_min(list_transform(shingles, s -> md5('2:' || s))),
+                        md5('2:' || text)) as mh2,
+               coalesce(list_min(list_transform(shingles, s -> md5('3:' || s))),
+                        md5('3:' || text)) as mh3
+        from sh
+    """,
+    "dedup_minhash_bands": """
+        with sh as (
+          select doc_id, text,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        sig as (
+          select substr(coalesce(list_min(list_transform(shingles, s -> md5('0:' || s))),
+                                 md5('0:' || text)), 1, 2) ||
+                 substr(coalesce(list_min(list_transform(shingles, s -> md5('1:' || s))),
+                                 md5('1:' || text)), 1, 2) ||
+                 substr(coalesce(list_min(list_transform(shingles, s -> md5('2:' || s))),
+                                 md5('2:' || text)), 1, 2) ||
+                 substr(coalesce(list_min(list_transform(shingles, s -> md5('3:' || s))),
+                                 md5('3:' || text)), 1, 2) as bucket
+          from sh)
+        select bucket, count(*)::bigint as n_docs from sig group by bucket
+    """,
+    "dedup_simhash": """
+        with wh as (
+          select doc_id, ('0x' || substr(md5(word), 1, 8))::bigint as h
+          from (select doc_id, unnest(string_split(text, ' ')) as word from documents)),
+        bits as (
+          select doc_id, bit,
+                 sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as s
+          from wh, (select unnest(range(0, 16)) as bit)
+          group by doc_id, bit)
+        select doc_id,
+               sum(case when s > 0 then (1::bigint << bit) else 0 end)::bigint as simhash
+        from bits group by doc_id
+    """,
+    "dedup_jaccard": """
+        with sh0 as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        sh as (select distinct doc_id, unnest(shingles) as s from sh0),
+        sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+        inter as (
+          select a.doc_id as da, b.doc_id as db, count(*) as i
+          from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+          group by 1, 2),
+        j as (
+          select round(i / (sa.sz + sb.sz - i), 6) as jaccard
+          from inter
+          join sizes sa on sa.doc_id = da
+          join sizes sb on sb.doc_id = db
+          where i / (sa.sz + sb.sz - i) >= 0.3)
+        select count(*)::bigint as n_pairs,
+               round(coalesce(sum(jaccard), 0), 6) as sum_jaccard
+        from j
+    """,
+    "similarity_topk": """
+        with dims as (
+          select vec_id, generate_subscripts(embedding, 1) as pos,
+                 unnest(embedding)::double as v
+          from embeddings),
+        q as (select pos, v as qv from dims where vec_id = 0),
+        scored as (
+          select d.vec_id,
+                 sum(d.v * q.qv) as dot,
+                 sqrt(sum(d.v * d.v)) as nv,
+                 sqrt(sum(q.qv * q.qv)) as nq
+          from dims d join q on d.pos = q.pos
+          group by d.vec_id)
+        select vec_id, round(dot / (nv * nq), 6) as cosine
+        from scored
+        order by cosine desc, vec_id
+        limit 10
+    """,
+    "similarity_lsh": """
+        select concat(
+                 case when embedding[1] > 0 then '1' else '0' end,
+                 case when embedding[2] > 0 then '1' else '0' end,
+                 case when embedding[3] > 0 then '1' else '0' end,
+                 case when embedding[4] > 0 then '1' else '0' end,
+                 case when embedding[5] > 0 then '1' else '0' end,
+                 case when embedding[6] > 0 then '1' else '0' end,
+                 case when embedding[7] > 0 then '1' else '0' end,
+                 case when embedding[8] > 0 then '1' else '0' end) as bucket,
+               count(*)::bigint as n_vecs
+        from embeddings group by 1
+    """,
+    "lang_id": """
+        select lang,
+               case when contains(text, 'spark') then 'tech'
+                    when round((length(text) - length(replace(text, 'a', '')))
+                               / length(text), 6) > 0.08 then 'latin-high-a'
+                    else 'other' end as lang_guess,
+               count(*)::bigint as n
+        from documents group by 1, 2
+    """,
+    "quality_score": """
+        select doc_id,
+               len(string_split(text, ' '))::bigint as n_words,
+               round((length(text) - len(string_split(text, ' ')) + 1)
+                     / len(string_split(text, ' ')), 6) as avg_word_len,
+               round((length(text) - length(replace(text, ' ', ''))) / length(text), 6)
+                   as space_ratio,
+               case when len(string_split(text, ' ')) >= 20
+                         and (length(text) - len(string_split(text, ' ')) + 1)
+                             / len(string_split(text, ' ')) between 2.0 and 8.0
+                    then 1 else 0 end::int as quality_keep
+        from documents
+    """,
+    "token_count": """
+        select source,
+               sum(len(string_split(text, ' ')))::bigint as n_words,
+               sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::bigint
+                   as n_tokens
+        from documents group by source
+    """,
+    "doc_fingerprint": """
+        with sh as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 5
+                      then list_transform(range(1, len(string_split(text, ' ')) - 3),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2] || ' ' ||
+                                string_split(text, ' ')[i+3] || ' ' ||
+                                string_split(text, ' ')[i+4])
+                      else [text] end as shingles
+          from documents)
+        select doc_id, list_min(list_transform(shingles, s -> md5(s))) as fp
+        from sh
+    """,
+}
+
+QUERIES = {
+    "vocab_build": q_vocab_build,
+    "max_target_len": q_max_target_len,
+    "cer_corpus": q_cer_corpus,
+    "label_join": q_label_join,
+    "anti_join_resume": q_anti_join_resume,
+    "empty_fallback": q_empty_fallback,
+    "prediction_format": q_prediction_format,
+    "split_99_1": q_split_99_1,
+    "route_kind_counts": q_route_kind_counts,
+    "conf_histogram": q_conf_histogram,
+    "lineage_counts": q_lineage_counts,
+    "stitch_order": q_stitch_order,
+    "top1_argmax": q_top1_argmax,
+    "best_metric_gate": q_best_metric_gate,
+    "running_mean": q_running_mean,
+    "weighted_accuracy": q_weighted_accuracy,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "window_running_sum": q_window_running_sum,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_dedup_minhash_sig,
+    "dedup_minhash_bands": q_dedup_minhash_bands,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}

@@ -1,0 +1,128 @@
+"""Adapter: derive an interleaved text+media corpus from the driver's
+TPC-H-ish `documents` table (doc_id, text, ...).
+
+The driver's testdata has no spans/media tables, so the flagship OCR
+pipeline demo derives one deterministically from (doc_id, text) — all
+generation runs INSIDE executors via mapInPandas (each task renders its own
+PNG payloads), i.e. corpus synthesis itself is distributed and would scale
+with the cluster. Both passes (spans view, media view) recompute the same
+pure derivation, so they are mutually consistent without any shuffle or
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.imaging import png_encode
+from ..model.glyphs import build_atlas, render_line
+from ..model.vocab import Vocabulary
+
+SPANS_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+MEDIA_SCHEMA = "media_ref string, png binary, width int, height int, size_b bigint"
+_HEIGHTS = (32, 64, 96, 128)
+
+_ATLAS = None
+_VOCAB_SET = None
+
+
+def _atlas():
+    global _ATLAS, _VOCAB_SET
+    if _ATLAS is None:
+        vocab = Vocabulary()
+        _ATLAS = build_atlas(vocab)
+        _VOCAB_SET = set(vocab.letters)
+    return _ATLAS, _VOCAB_SET
+
+
+def _derive(doc_id: int, text: str) -> list[dict]:
+    """Pure span derivation: chunks of 5 words; every 3rd chunk becomes a
+    media span whose truth is the chunk's vocab-filtered prefix."""
+    _, vocab_set = _atlas()
+    words = text.split(" ")
+    spans = []
+    offset = 0
+    for i in range(0, len(words), 5):
+        chunk = " ".join(words[i : i + 5])
+        j = i // 5
+        offset += 1 + (doc_id + j) % 3
+        if j % 3 == 2:
+            truth = "".join(c for c in chunk if c in vocab_set)[:16]
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": f"sf-{doc_id:08d}-{j:04d}",
+                    "offset": offset,
+                    "_truth": truth,
+                    "_height": _HEIGHTS[(doc_id + j) % 4],
+                }
+            )
+        else:
+            raw = f"<nav>menu</nav><p>{chunk}</p>" if j % 2 == 0 else chunk
+            spans.append(
+                {"kind": "text", "text": raw, "media_ref": "", "offset": offset}
+            )
+    return spans
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, re-spread across the cluster: the sf parquet is a
+    single file (1 input split), so without a repartition every derivation
+    task would run on one core."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n, "doc_id")
+    )
+
+
+def derive_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                spans = [
+                    {k: v for k, v in s.items() if not k.startswith("_")}
+                    for s in _derive(int(doc_id), text)
+                ]
+                out.append({"doc_id": f"sfdoc-{int(doc_id):08d}", "spans": spans})
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, SPANS_SCHEMA)
+
+
+def derive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        atlas, _ = _atlas()
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for s in _derive(int(doc_id), text):
+                    if s["kind"] != "media":
+                        continue
+                    img = render_line(s["_truth"], s["_height"], atlas)
+                    png = png_encode(img)
+                    rows.append(
+                        {
+                            "media_ref": s["media_ref"],
+                            "png": png,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "size_b": len(png),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
