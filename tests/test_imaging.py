@@ -85,5 +85,4 @@ def test_preprocess_shape_and_range():
     img = np.random.default_rng(2).integers(0, 256, (48, 120), dtype=np.uint8)
     out = preprocess(img)
     assert out.shape == (TARGET_H, TARGET_W)
-    assert out.dtype == np.float64
-    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert out.dtype == np.uint8

@@ -82,6 +82,42 @@ def test_batch_shape_independence():
     assert solo == batched
 
 
+def test_batch_shape_independence_bitwise_at_scale():
+    """Texts AND histograms identical between batch=1 and odd batch splits.
+
+    Guards the einsum(optimize=False) choice: BLAS gemm blocking varies
+    with row count and was measured to produce ulp-divergent logits."""
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.imaging import preprocess
+    from vietnamese_ocr_spark.model.glyphs import build_atlas, render_line
+    from vietnamese_ocr_spark.model.recognizer import Recognizer, build_weights
+    from vietnamese_ocr_spark.model.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    atlas = build_atlas(vocab)
+    rng = np.random.default_rng(9)
+    letters = vocab.letters
+    texts = [
+        "".join(letters[i] for i in rng.integers(0, len(letters), rng.integers(0, 40)))
+        for _ in range(120)
+    ]
+    heights = [int(h) for h in rng.choice([32, 64, 96, 128], size=len(texts))]
+    imgs = np.stack(
+        [preprocess(render_line(t, h, atlas)) for t, h in zip(texts, heights)]
+    )
+    rec = Recognizer(build_weights(vocab))
+    full_t, full_h = rec.recognize(imgs)
+    for size in (1, 7, 31):
+        got_t, got_h = [], []
+        for lo in range(0, len(imgs), size):
+            t, h = rec.recognize(imgs[lo : lo + size])
+            got_t.extend(t)
+            got_h.append(h)
+        assert got_t == full_t, f"texts diverge at batch size {size}"
+        assert np.array_equal(np.concatenate(got_h), full_h), f"hist at {size}"
+
+
 def test_early_exit_keeps_later_rows_decoding():
     # one blank row (exits at step 0) + one long row (runs all 32 steps)
     got, _ = _recognize_strings(["", "c" * 32], [64, 64])

@@ -19,11 +19,26 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS = 256
 
 
+_BLAS_ENV = ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+             "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS")
+
+
+def pin_blas_single_threaded() -> None:
+    """One BLAS thread per task. Spark already runs one task per core, so
+    per-worker BLAS pools multiply into cores^2 threads and destroy scaling
+    (measured: local[32] *slower* than local[8] on the OCR stage without
+    this). Must run before numpy is imported in the worker; local-mode
+    Python workers inherit the driver env, cluster mode gets executorEnv."""
+    for var in _BLAS_ENV:
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "vietnamese-ocr-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    pin_blas_single_threaded()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     # local[N]: shuffle partitions ~ cores; a 1000-executor cluster would
@@ -45,4 +60,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    for var in _BLAS_ENV:  # cluster-mode equivalent of the env pin above
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     return builder.getOrCreate()

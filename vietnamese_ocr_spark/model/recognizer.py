@@ -7,7 +7,11 @@ seeded model IS the semantics contract; the oracle and the Spark
 `mapInPandas` stage run this identical NumPy code on identical `.npz`
 weights.
 
-Architecture (all float64 for cross-batch-shape determinism):
+Architecture (float32 storage; every reduction runs through
+einsum(optimize=False), whose fixed per-row loop order makes results
+bit-identical regardless of batch composition — BLAS gemm does NOT
+guarantee that: its blocking varies with the row count, measured divergent
+for both float32 and float64):
   encoder   (src/model/model.py:118-131 analog): the 64x256 preprocessed
             image is sliced into 32 column strips of 8 px starting at the
             first ink column; each strip -> flattened 512-d L2-normalized
@@ -49,11 +53,11 @@ def build_weights(vocab: Vocabulary | None = None) -> dict[str, np.ndarray]:
     """Deterministic weight tensors; serialized to .npz and broadcast once."""
     vocab = vocab or Vocabulary()
     atlas = build_atlas(vocab)
-    w_out = np.zeros((vocab.size, FEAT_DIM), dtype=np.float64)
+    w_out = np.zeros((vocab.size, FEAT_DIM), dtype=np.float32)
     for ch, idx in vocab.letter_to_idx.items():
         tpl = (255.0 - atlas[ch].astype(np.float64)) / 255.0  # ink -> bright
         flat = tpl.reshape(-1)
-        w_out[idx] = flat / (np.linalg.norm(flat) + _EPS)
+        w_out[idx] = (flat / (np.linalg.norm(flat) + _EPS)).astype(np.float32)
     letters = np.array(vocab.letters, dtype="U1")
     return {"w_out": w_out, "letters": letters}
 
@@ -73,27 +77,31 @@ class Recognizer:
     """Stateless-after-init batch recognizer; hydrate once per executor."""
 
     def __init__(self, weights: dict[str, np.ndarray]):
-        self.w_out = np.ascontiguousarray(weights["w_out"], dtype=np.float64)
+        self.w_out = np.ascontiguousarray(weights["w_out"], dtype=np.float32)
         self.letters = [str(c) for c in weights["letters"]]
         self.vocab = Vocabulary("".join(self.letters))
 
     # -- encoder ----------------------------------------------------------
-    def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """batch: B x 64 x 256 float64 in [0,1] (preprocessed, ink bright).
+    def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """batch: B x 64 x 256 uint8 (preprocessed canvas, ink bright).
 
-        Returns (memory B x 32 x 512 L2-normalized, ink B x 32 strip means).
-        Computed once per batch and reused across all decode steps
-        (src/model/model.py:207-208 'encoder once' semantics, X5).
+        Returns (strips B x 32 x 512 uint8, inv_norm B x 32 float32,
+        ink B x 32 float32 strip means in [0,1]). Strips stay uint8 —
+        cosine scoring divides by the norm at the logits step, so the
+        /255 scale cancels. Computed once per batch and reused across all
+        decode steps (src/model/model.py:207-208 'encoder once', X5).
         """
         b = batch.shape[0]
-        col_ink = batch.mean(axis=1)  # B x 256
+        col_ink = np.einsum("bhw->bw", batch, dtype=np.float32) * np.float32(
+            1.0 / (TARGET_H * 255.0)
+        )
         has_ink = col_ink > INK_COL_THRESH
         # first ink column, 0 if the row is blank paper
         x0 = np.where(has_ink.any(axis=1), has_ink.argmax(axis=1), 0)
         # align each row to its first ink column: one contiguous memcpy per
         # row (measured ~4x faster than a take_along_axis gather)
         span = MAX_TOKENS * CELL_W  # == TARGET_W
-        aligned = np.zeros((b, TARGET_H, span), dtype=np.float64)
+        aligned = np.zeros((b, TARGET_H, span), dtype=np.uint8)
         for r in range(b):
             w = span - x0[r]
             aligned[r, :, :w] = batch[r, :, x0[r] :]
@@ -101,18 +109,30 @@ class Recognizer:
         strips = np.ascontiguousarray(strips.transpose(0, 2, 1, 3)).reshape(
             b, MAX_TOKENS, FEAT_DIM
         )
-        ink = strips.mean(axis=2)
-        norm = np.sqrt(np.einsum("btf,btf->bt", strips, strips))[:, :, None]
-        memory = strips / (norm + _EPS)
-        return memory, ink
+        ink = np.einsum("btf->bt", strips, dtype=np.float32) * np.float32(
+            1.0 / (FEAT_DIM * 255.0)
+        )
+        sq = np.einsum("btf,btf->bt", strips, strips, dtype=np.float32)
+        inv_norm = np.float32(1.0) / (np.sqrt(sq) + np.float32(_EPS))
+        return strips, inv_norm, ink
 
     # -- decoder ----------------------------------------------------------
-    def step_logits(self, memory_t: np.ndarray, ink_t: np.ndarray) -> np.ndarray:
-        """Logits for one decode step: B x vocab_size."""
-        b = memory_t.shape[0]
-        logits = np.full((b, self.w_out.shape[0]), -np.inf, dtype=np.float64)
-        logits[:, N_SPECIALS:] = memory_t @ self.w_out[N_SPECIALS:].T
-        logits[:, EOS] = (EOS_INK_THRESH - ink_t) * EOS_GAIN
+    def step_logits(
+        self, strips_t: np.ndarray, inv_norm_t: np.ndarray, ink_t: np.ndarray
+    ) -> np.ndarray:
+        """Logits for one decode step: B x vocab_size (cosine scores)."""
+        b = strips_t.shape[0]
+        logits = np.full((b, self.w_out.shape[0]), -np.inf, dtype=np.float32)
+        # einsum(optimize=False): fixed reduction order per row -> results
+        # independent of how rows were batched (gemm is not); uint8 strips
+        # are cast on the fly, templates are unit-norm, so dividing by the
+        # strip norm yields the cosine
+        dots = np.einsum(
+            "bf,vf->bv", strips_t, self.w_out[N_SPECIALS:], dtype=np.float32,
+            optimize=False,
+        )
+        logits[:, N_SPECIALS:] = dots * inv_norm_t[:, None]
+        logits[:, EOS] = (np.float32(EOS_INK_THRESH) - ink_t) * np.float32(EOS_GAIN)
         return logits
 
     def greedy_decode(self, batch: np.ndarray) -> tuple[list[list[int]], np.ndarray]:
@@ -122,7 +142,7 @@ class Recognizer:
         (src/model/model.py:211-216): rows leave on <eos>; at step 32 the
         remaining rows are flushed (src/model/model.py:228-232).
         """
-        memory, ink = self.encode(batch)
+        strips, inv_norm, ink = self.encode(batch)
         b = batch.shape[0]
         tokens: list[list[int]] = [[] for _ in range(b)]
         hist = np.zeros((b, 10), dtype=np.int64)
@@ -131,11 +151,11 @@ class Recognizer:
             if not active.any():
                 break
             idx = np.nonzero(active)[0]
-            logits = self.step_logits(memory[idx, t], ink[idx, t])
+            logits = self.step_logits(strips[idx, t], inv_norm[idx, t], ink[idx, t])
             choice = logits.argmax(axis=1)
             # per-token confidence: softmax prob of the argmax (A7 analog;
             # the reference has none — pure argmax, SURVEY.md §2.6 A7)
-            z = logits * SOFTMAX_TEMP
+            z = logits * np.float32(SOFTMAX_TEMP)
             z = z - z.max(axis=1, keepdims=True)
             p = np.exp(z)
             conf = p[np.arange(len(idx)), choice] / p.sum(axis=1)

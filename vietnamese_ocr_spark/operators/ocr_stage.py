@@ -83,7 +83,7 @@ def size_bucket(col: Column, bucket_bytes: int = 4096) -> Column:
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, weight_col: str = "size_b",
-                       salts_per_bucket: int = 8) -> DataFrame:
+                       salts_per_bucket: int | None = None) -> DataFrame:
     """Skew-defeating repartition before the OCR stage (north_rule; X-skew).
 
     AQE's skew-join handling only rebalances *join* shuffles — a UDF stage
@@ -91,13 +91,16 @@ def salted_repartition(df: DataFrame, n_partitions: int, weight_col: str = "size
     We shuffle on (size_bucket, salt) so same-cost rows spread uniformly:
     every partition receives a similar mix of cheap and expensive images,
     which keeps the mapInPandas stage's task times flat (SURVEY.md §4).
+
+    The salt space MUST comfortably exceed the partition count: payload
+    sizes cluster into very few buckets, so (bucket x salt) is the real key
+    cardinality — with only ~8 salts most partitions receive zero rows
+    (measured: median task 0 rows, max 4.8k). 64x partitions keeps the
+    per-partition row-count variance under ~5%.
     """
-    salted = df.withColumn(
-        "_salt",
-        F.concat_ws(
-            ":",
-            size_bucket(F.col(weight_col)),
-            F.pmod(F.xxhash64(F.col("media_ref")), F.lit(salts_per_bucket)),
-        ),
+    if salts_per_bucket is None:
+        salts_per_bucket = n_partitions * 64
+    salted = df.withColumn("_bucket", size_bucket(F.col(weight_col))).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("media_ref")), F.lit(salts_per_bucket))
     )
-    return salted.repartition(n_partitions, "_salt").drop("_salt")
+    return salted.repartition(n_partitions, "_bucket", "_salt").drop("_bucket", "_salt")

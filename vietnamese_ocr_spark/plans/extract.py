@@ -60,12 +60,22 @@ def recognize_media_df(media: DataFrame, weights_bc, n_partitions: int | None = 
 def stitch(spans: DataFrame) -> DataFrame:
     """spans(doc_id, kind, text, media_ref, offset) -> (doc_id, spans[])
     ordered by offset — the O2 replacement for the reference's unstable
-    os.listdir output order (src/utils/inference.py:105-111)."""
+    os.listdir output order (src/utils/inference.py:105-111).
+
+    Rows with NULL kind are empty-doc markers: collect_list skips the
+    NULL-ified struct, so the doc survives with spans=[] without any
+    post-hoc outer join (a SortMergeJoin dragging full span payloads
+    through a sort — measured slower than the whole OCR stage)."""
     return (
         spans.groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+                F.collect_list(
+                    F.when(
+                        F.col("kind").isNotNull(),
+                        F.struct("offset", "kind", "text", "media_ref"),
+                    )
+                )
             ).alias("_sorted")
         )
         .select(
@@ -98,13 +108,17 @@ def extract_df(
     """
     weights_bc = weights_bc or broadcast_weights(spark)
 
-    span_cols = documents.select("doc_id", F.explode("spans").alias("span")).select(
+    exploded = documents.select("doc_id", F.explode_outer("spans").alias("span"))
+    span_cols = exploded.select(
         "doc_id",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+    # empty docs surface as NULL-span rows (explode_outer) and ride the
+    # union into stitch as markers instead of needing an outer join back
+    empty_docs = span_cols.filter(F.col("kind").isNull())
 
     text_spans = span_cols.filter(F.col("kind") == "text").withColumn(
         "text", normalize_text(F.col("text"))
@@ -121,21 +135,12 @@ def extract_df(
         "doc_id", "kind", "text", "media_ref", "offset"
     )
 
-    unioned = text_spans.select("doc_id", "kind", "text", "media_ref", "offset").unionByName(
-        media_out
+    unioned = (
+        text_spans.select("doc_id", "kind", "text", "media_ref", "offset")
+        .unionByName(media_out)
+        .unionByName(empty_docs)
     )
-    stitched = stitch(unioned)
-
-    # docs with spans=[] must survive with an empty array (FIXTURES.md edge)
-    extracted = (
-        documents.select("doc_id")
-        .join(stitched, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("spans", F.array().cast(EXTRACTED_SPAN_TYPE)).alias("spans"),
-        )
-    )
-    return extracted, rec
+    return stitch(unioned), rec
 
 
 def lineage_df(rec: DataFrame, run_id: str, snapshot_id: int) -> DataFrame:

@@ -158,12 +158,29 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
         "media": os.path.join(out_dir, "media.parquet"),
         "labels": os.path.join(out_dir, "labels.parquet"),
     }
-    pq.write_table(
-        pa.Table.from_pydict({"doc_id": doc_ids, "spans": doc_spans}, schema=DOCUMENTS_SCHEMA),
+
+    def write_sharded(path: str, table: pa.Table, rows_per_file: int) -> None:
+        """Directory of part files — a real table is thousands of files;
+        a single file is a single input split and serializes every scan."""
+        n = table.num_rows
+        if n <= rows_per_file:
+            pq.write_table(table, path)
+            return
+        os.makedirs(path, exist_ok=True)
+        for s, lo in enumerate(range(0, n, rows_per_file)):
+            pq.write_table(
+                table.slice(lo, rows_per_file),
+                os.path.join(path, f"part-{s:05d}.parquet"),
+            )
+
+    write_sharded(
         paths["documents"],
+        pa.Table.from_pydict({"doc_id": doc_ids, "spans": doc_spans}, schema=DOCUMENTS_SCHEMA),
+        rows_per_file=500,
     )
     refs = sorted(media_rows)
-    pq.write_table(
+    write_sharded(
+        paths["media"],
         pa.Table.from_pydict(
             {
                 "media_ref": refs,
@@ -175,7 +192,7 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
             },
             schema=MEDIA_SCHEMA,
         ),
-        paths["media"],
+        rows_per_file=1000,
     )
     pq.write_table(
         pa.Table.from_pydict(
