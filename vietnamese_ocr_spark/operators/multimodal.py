@@ -1,0 +1,182 @@
+"""Multimodal payload operators: image / audio / video as opaque binary.
+
+Large-scale training-data pipelines treat media as `binary` columns with
+typed metadata and run decode / feature-extract / resize / frame-sample as
+vectorized stages. This container has no cv2/PIL/ffmpeg, so:
+
+  * IMAGE ops are REAL for PNG gray8 (our pure-NumPy codec);
+  * AUDIO decode and VIDEO frame decode are STUBS — clearly marked: a
+    deterministic fake signal derived from the payload digest stands in
+    for PCM/frames (`_fake_pcm`, `_fake_frame_digest`), and unknown mimes
+    raise NotImplementedError. The Spark-side plumbing — schemas,
+    partitioning, mapInPandas signatures, Arrow batch shapes — is real
+    and tested, so swapping a real codec in changes one function.
+
+Asset table schema:
+  assets(asset_id string, kind string,           -- image|audio|video
+         mime string, payload binary,
+         width int, height int,                  -- image/video
+         sample_rate int, duration_ms int,       -- audio
+         n_frames int)                           -- video
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions.imaging import png_decode, png_encode, resize_bilinear
+
+ASSETS_DDL = (
+    "asset_id string, kind string, mime string, payload binary, "
+    "width int, height int, sample_rate int, duration_ms int, n_frames int"
+)
+
+IMAGE_FEATURES_DDL = (
+    "asset_id string, width int, height int, mean_lum double, ink_ratio double"
+)
+RESIZED_DDL = "asset_id string, payload binary, width int, height int"
+AUDIO_FEATURES_DDL = "asset_id string, n_samples bigint, features array<float>"
+FRAME_SAMPLE_DDL = "asset_id string, frame_idx int, phash string"
+
+
+def _require_mime(mime: str, supported: tuple[str, ...]) -> None:
+    if mime not in supported:
+        raise NotImplementedError(
+            f"codec for {mime!r} is not available in this runtime "
+            f"(supported: {supported}); install the real decoder and "
+            "extend this stub"
+        )
+
+
+# -- image: REAL ------------------------------------------------------------
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode + per-image stats; real PNG path, vectorized per Arrow batch."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
+                _require_mime(mime, ("image/png",))
+                img = png_decode(payload)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_lum": round(float(img.mean()), 4),
+                        "ink_ratio": round(float((img < 128).mean()), 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.filter("kind = 'image'").select("asset_id", "mime", "payload").mapInPandas(
+        stage, IMAGE_FEATURES_DDL
+    )
+
+
+def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Real decode -> bilinear resize -> re-encode; binary in, binary out."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
+                _require_mime(mime, ("image/png",))
+                img = resize_bilinear(png_decode(payload), out_h, out_w)
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "payload": png_encode(img),
+                        "width": out_w,
+                        "height": out_h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.filter("kind = 'image'").select("asset_id", "mime", "payload").mapInPandas(
+        stage, RESIZED_DDL
+    )
+
+
+# -- audio: STUBBED decode, real plumbing ------------------------------------
+
+def _fake_pcm(payload: bytes, n_samples: int) -> np.ndarray:
+    """STUB standing in for a PCM decoder: a deterministic pseudo-signal
+    seeded from the payload digest. Replace with soundfile/ffmpeg."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n_samples).astype(np.float32)
+
+
+def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
+    """Frame-energy feature vector (MFCC-shaped plumbing, stub decode).
+
+    Output: 16 float32 features per asset — framed RMS energies pooled to a
+    fixed-length vector, exactly the batch/shape contract a real MFCC
+    stage would have."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, mime, payload, sr, dur in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"],
+                pdf["sample_rate"], pdf["duration_ms"],
+            ):
+                _require_mime(mime, ("audio/pcm-stub",))
+                n = max(frame, int(int(sr) * int(dur) / 1000))
+                pcm = _fake_pcm(payload, n)
+                usable = (len(pcm) // frame) * frame
+                frames = pcm[:usable].reshape(-1, frame)
+                rms = np.sqrt(np.einsum("nf,nf->n", frames, frames) / frame)
+                pooled = np.interp(
+                    np.linspace(0, 1, 16), np.linspace(0, 1, len(rms)), rms
+                ).astype(np.float32)
+                rows.append(
+                    {"asset_id": asset_id, "n_samples": n, "features": pooled.tolist()}
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.filter("kind = 'audio'").select(
+        "asset_id", "mime", "payload", "sample_rate", "duration_ms"
+    ).mapInPandas(stage, AUDIO_FEATURES_DDL)
+
+
+# -- video: STUBBED decode, real plumbing ------------------------------------
+
+def _fake_frame_digest(payload: bytes, frame_idx: int) -> str:
+    """STUB standing in for decode+perceptual-hash of one video frame."""
+    return hashlib.md5(payload + frame_idx.to_bytes(4, "big")).hexdigest()[:16]
+
+
+def video_frame_sample(assets: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Sample every Nth frame -> (asset_id, frame_idx, phash) rows.
+
+    One input row explodes to ~n_frames/every_nth output rows — the
+    fan-out shape of real frame extraction; phash is the stub digest."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, mime, payload, n_frames in zip(
+                pdf["asset_id"], pdf["mime"], pdf["payload"], pdf["n_frames"]
+            ):
+                _require_mime(mime, ("video/frames-stub",))
+                for idx in range(0, int(n_frames), every_nth):
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": idx,
+                            "phash": _fake_frame_digest(payload, idx),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.filter("kind = 'video'").select(
+        "asset_id", "mime", "payload", "n_frames"
+    ).mapInPandas(stage, FRAME_SAMPLE_DDL)

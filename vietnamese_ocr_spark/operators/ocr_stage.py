@@ -17,20 +17,18 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.imaging import png_decode, preprocess
+from ..model.pipeline import recognize_png_batch
 from ..model.recognizer import Recognizer, weights_from_bytes
 
 OCR_OUTPUT_SCHEMA = (
     "media_ref string, rec_text string, conf_hist array<bigint>, "
     "n_tokens bigint, part_id int"
 )
-MODEL_BATCH = 32  # src/utils/inference.py:44
 
 _RECOGNIZER: Recognizer | None = None
 
@@ -53,23 +51,13 @@ def make_ocr_stage(weights_bc):
             if len(pdf) == 0:
                 continue
             refs = pdf["media_ref"].tolist()
-            pngs = pdf["png"].tolist()
-            texts: list[str] = []
-            hists: list[list[int]] = []
-            ntoks: list[int] = []
-            for lo in range(0, len(pngs), MODEL_BATCH):
-                chunk = pngs[lo : lo + MODEL_BATCH]
-                imgs = np.stack([preprocess(png_decode(p)) for p in chunk])
-                t, h = rec.recognize(imgs)
-                texts.extend(t)
-                hists.extend(h.tolist())
-                ntoks.extend(int(x) for x in h.sum(axis=1))
+            texts, hist = recognize_png_batch(pdf["png"].tolist(), rec)
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
                     "rec_text": texts,
-                    "conf_hist": hists,
-                    "n_tokens": ntoks,
+                    "conf_hist": hist.tolist(),
+                    "n_tokens": [int(x) for x in hist.sum(axis=1)],
                     "part_id": part_id,
                 }
             )

@@ -9,7 +9,7 @@ posexplode + sum — JVM-side, no Python. At 10^12 scale you'd pre-bucket
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -21,6 +21,74 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     until the final (tiny) top-k sort.
     """
     dims = embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    qdims = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "qv"))
+    )
+    scored = (
+        dims.join(F.broadcast(qdims), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("nq"),
+        )
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+             n_centroids: int = 8) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to the nearest centroid, then search
+    only the query's cell — the scale path where brute force won't.
+
+    Centroids are the first `n_centroids` vectors (deterministic stand-in
+    for a k-means codebook; at 10^12 scale you'd train the codebook on a
+    sample and broadcast it exactly like this). Plan shape: one broadcast
+    join against the tiny centroid set, a per-vector argmax (window), and
+    brute-force cosine INSIDE one cell only.
+    """
+    dims = embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cdims = (
+        embeddings.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "cv"),
+        )
+    )
+    dots = (
+        dims.join(F.broadcast(cdims), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.round(F.sum(F.col("v") * F.col("cv")), 9).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+    assign = (
+        dots.select("vec_id", "cid", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    query_cluster = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("cluster").alias("qcluster")
+    )
+    candidates = assign.join(
+        F.broadcast(query_cluster), F.col("cluster") == F.col("qcluster")
+    ).select("vec_id")
+    cell = embeddings.join(candidates, "vec_id")
+    return cosine_topk_against(cell, embeddings, query_vec_id, k)
+
+
+def cosine_topk_against(candidates: DataFrame, embeddings: DataFrame,
+                        query_vec_id: int, k: int) -> DataFrame:
+    """Exact cosine top-k of `candidates` against one query row."""
+    dims = candidates.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
     qdims = (

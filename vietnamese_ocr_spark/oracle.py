@@ -19,8 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 
-from .functions.imaging import png_decode, preprocess
 from .functions.text import normalize_py
+from .model.pipeline import recognize_png_batch
 from .model.recognizer import Recognizer, build_weights
 
 BATCH_SIZE = 32  # reference default, src/utils/inference.py:44
@@ -29,13 +29,13 @@ BATCH_SIZE = 32  # reference default, src/utils/inference.py:44
 def recognize_media(media_rows: list[tuple[str, bytes]], recognizer: Recognizer | None = None,
                     batch_size: int = BATCH_SIZE) -> dict[str, str]:
     """media_ref -> recognized text (with 'a' fallback), batched like the
-    reference's fixed-size slicing loop (src/utils/inference.py:73-79)."""
+    reference's fixed-size slicing loop (src/utils/inference.py:73-79);
+    decode/detect/recognize via the shared pipeline (model/pipeline.py)."""
     recognizer = recognizer or Recognizer(build_weights())
     out: dict[str, str] = {}
     for lo in range(0, len(media_rows), batch_size):
         chunk = media_rows[lo : lo + batch_size]
-        imgs = np.stack([preprocess(png_decode(png)) for _, png in chunk])
-        texts, _ = recognizer.recognize(imgs)
+        texts, _ = recognize_png_batch([png for _, png in chunk], recognizer)
         for (ref, _), text in zip(chunk, texts):
             out[ref] = text if text else "a"
     return out

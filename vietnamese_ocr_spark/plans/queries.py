@@ -305,6 +305,39 @@ def q_similarity_lsh(spark, sf):
     return similarity.lsh_sign_buckets(t(spark, sf, "embeddings"))
 
 
+def q_similarity_ivf_topk(spark, sf):
+    return similarity.ivf_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+def q_batch_slices(spark, sf):  # B1: fixed-size batch slicing, last partial kept
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    e = t(spark, sf, "events").select(
+        "user_id",
+        F.floor((F.row_number().over(w) - 1) / 32).cast("int").alias("batch_id"),
+        F.length("props").alias("len"),
+    )
+    # B4: pad-to-max-in-batch — padded cells = sum(max_len - len)
+    e = e.withColumn(
+        "batch_max", F.max("len").over(Window.partitionBy("user_id", "batch_id"))
+    )
+    return e.groupBy("user_id", "batch_id").agg(
+        F.count("*").alias("batch_rows"),
+        F.max("len").cast("long").alias("max_len"),
+        F.sum(F.col("batch_max") - F.col("len")).cast("long").alias("pad_cells"),
+    )
+
+
+def q_concat_aug(spark, sf):  # F2/S9: ConcatAug pairing (concat_aug.py:25-43)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = t(spark, sf, "documents").select(
+        "source", "doc_id", "text", F.lead("text").over(w).alias("next_text")
+    ).filter(F.col("next_text").isNotNull())
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.length(F.concat_ws(" ", "text", "next_text"))).cast("long").alias("aug_chars"),
+    )
+
+
 def q_lang_id(spark, sf):
     return textstats.lang_id(t(spark, sf, "documents"))
 
@@ -579,6 +612,60 @@ ORACLE_SQL: dict[str, str] = {
         order by cosine desc, vec_id
         limit 10
     """,
+    "similarity_ivf_topk": """
+        with dims as (
+          select vec_id, generate_subscripts(embedding, 1) as pos,
+                 unnest(embedding)::double as v
+          from embeddings),
+        cdims as (select vec_id as cid, pos, v as cv from dims where vec_id < 8),
+        dots as (
+          select d.vec_id, c.cid, round(sum(d.v * c.cv), 9) as dot
+          from dims d join cdims c on d.pos = c.pos
+          group by d.vec_id, c.cid),
+        assign as (
+          select vec_id, cid as cluster
+          from (select vec_id, cid,
+                       row_number() over (partition by vec_id
+                                          order by dot desc, cid) as rn
+                from dots)
+          where rn = 1),
+        qc as (select cluster as qcluster from assign where vec_id = 0),
+        cand as (select a.vec_id from assign a, qc where a.cluster = qc.qcluster),
+        q as (select pos, v as qv from dims where vec_id = 0),
+        scored as (
+          select d.vec_id, sum(d.v * q.qv) as dot,
+                 sqrt(sum(d.v * d.v)) as nv, sqrt(sum(q.qv * q.qv)) as nq
+          from dims d join cand using (vec_id) join q on d.pos = q.pos
+          group by d.vec_id)
+        select vec_id, round(dot / (nv * nq), 6) as cosine
+        from scored order by cosine desc, vec_id limit 10
+    """,
+    "batch_slices": """
+        with e as (
+          select user_id,
+                 cast(floor((row_number() over (partition by user_id
+                                                order by event_id) - 1) / 32)
+                      as int) as batch_id,
+                 length(props) as len
+          from events),
+        m as (select user_id, batch_id, len,
+                     max(len) over (partition by user_id, batch_id) as batch_max
+              from e)
+        select user_id, batch_id, count(*)::bigint as batch_rows,
+               max(len)::bigint as max_len,
+               sum(batch_max - len)::bigint as pad_cells
+        from m group by user_id, batch_id
+    """,
+    "concat_aug": """
+        with d as (
+          select source, text,
+                 lead(text) over (partition by source order by doc_id) as next_text
+          from documents)
+        select source, count(*)::bigint as n_pairs,
+               sum(length(text || ' ' || next_text))::bigint as aug_chars
+        from d where next_text is not null
+        group by source
+    """,
     "similarity_lsh": """
         select concat(
                  case when embedding[1] > 0 then '1' else '0' end,
@@ -667,6 +754,9 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "batch_slices": q_batch_slices,
+    "concat_aug": q_concat_aug,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

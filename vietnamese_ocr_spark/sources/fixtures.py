@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.text import normalize_py
-from ..model.glyphs import build_atlas, render_line
+from ..model.glyphs import build_atlas, render_line, render_multiline
 from ..model.vocab import Vocabulary
 from ..functions.imaging import png_encode
 
@@ -106,7 +106,12 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
 
     def add_media(rng: np.random.Generator, truth: str, height: int) -> str:
         ref = f"img-{len(media_rows):08d}"
-        img = render_line(truth, height, atlas)
+        lines = truth.split("\n")
+        img = (
+            render_multiline(lines, height, atlas)
+            if len(lines) > 1
+            else render_line(truth, height, atlas)
+        )
         png = png_encode(img)
         media_rows[ref] = (png, img.shape[1], img.shape[0], truth)
         return ref
@@ -139,6 +144,10 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
             for _ in range(3):
                 h = int(HEIGHTS[int(rng.integers(0, len(HEIGHTS)))])
                 push("media", "", add_media(rng, _rand_truth(rng, letters), h))
+        elif i == 6:
+            # multi-line media: exercises the detection stage
+            lines = "\n".join(_rand_truth(rng, letters) for _ in range(3))
+            push("media", "", add_media(rng, lines, 64))
         else:
             whale = rng.random() < 0.05
             n_spans = int(rng.integers(30, 61)) if whale else int(rng.integers(1, 13))
@@ -146,7 +155,12 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
                 if whale or rng.random() < 0.4:
                     h = 128 if whale else int(HEIGHTS[int(rng.integers(0, len(HEIGHTS)))])
                     max_len = 32 if whale else 16
-                    push("media", "", add_media(rng, _rand_truth(rng, letters, max_len), h))
+                    truth = _rand_truth(rng, letters, max_len)
+                    if not whale and rng.random() < 0.06:  # multi-line minority
+                        truth = "\n".join(
+                            [truth] + [_rand_truth(rng, letters) for _ in range(int(rng.integers(1, 3)))]
+                        )
+                    push("media", "", add_media(rng, truth, h))
                 else:
                     push("text", _rand_text_span(rng, letters), "")
         doc_ids.append(doc_id)
