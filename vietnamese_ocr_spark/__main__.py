@@ -33,7 +33,28 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--out", required=True)
     sy.add_argument("--seed", type=int, default=42)
 
+    pk = sub.add_parser("package", help="zip the package for spark-submit --py-files")
+    pk.add_argument("--out", default="dist/vietnamese_ocr_spark.zip")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "package":
+        import os
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+        with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _, files in os.walk(pkg_root):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_root))
+                        zf.write(full, rel)
+        print(json.dumps({"py_files": args.out}))
+        return 0
 
     if args.cmd == "synth":
         from .sources.fixtures import generate_corpus

@@ -3,16 +3,16 @@
 Logical plan, all declarative so Catalyst prunes/pushes/reorders freely
 (SURVEY.md §3 E1 Spark lifecycle):
 
-  documents ──posexplode(spans)──┬─ kind='text'  ─ normalize (JVM regexp) ─┐
-                                 └─ kind='media' ─ distinct media_ref       │
-                                        │  ⋈ media (pruned cols)            │
-                                        │  salted repartition(size,salt)    │
-                                        │  mapInPandas OCR  ── 'a' fallback │
-                                        └─ join back to media spans ────────┤
-                                                                   unionByName
-                                                              groupBy(doc_id)
-                                              sort_array(struct(offset,...))
-                                            + left join to keep empty docs
+  documents ──explode_outer(spans)─┬─ text/empty ── normalize (JVM regexp) ─┐
+                                   └─ kind='media' ─ distinct media_ref     │
+                                          │  ⋈ media (pruned cols)          │
+                                          │  salted repartition(size,salt)  │
+                                          │  mapInPandas OCR ── 'a' fallback│
+                                          └─ join back to media spans ──────┤
+                                                                 unionByName
+                                                            groupBy(doc_id)
+                                            sort_array(struct(offset,...));
+                              NULL-kind markers keep empty docs, no join
   sinks: extracted parquet (append), lineage parquet (append), manifest.
 
 Scale notes (100 TB / 10^12 docs):
@@ -108,6 +108,13 @@ def extract_df(
     """
     weights_bc = weights_bc or broadcast_weights(spark)
 
+    # NB each branch below is a separate scan of `documents` — Spark does
+    # not share scans across diverging subtrees, and nested-schema pruning
+    # does not fire through explode() in Spark 4.1 (verified via
+    # explain: ReadSchema keeps the full spans struct), so the branch
+    # count IS the full-table scan count. Text + empty-doc handling share
+    # one branch; media spans are the other; a pruned third scan feeds the
+    # distinct-ref projection.
     exploded = documents.select("doc_id", F.explode_outer("spans").alias("span"))
     span_cols = exploded.select(
         "doc_id",
@@ -116,12 +123,13 @@ def extract_df(
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
-    # empty docs surface as NULL-span rows (explode_outer) and ride the
-    # union into stitch as markers instead of needing an outer join back
-    empty_docs = span_cols.filter(F.col("kind").isNull())
-
-    text_spans = span_cols.filter(F.col("kind") == "text").withColumn(
-        "text", normalize_text(F.col("text"))
+    # one branch for text spans AND empty-doc markers (NULL kind rides the
+    # union into stitch instead of needing an outer join back)
+    text_spans = span_cols.filter(
+        (F.col("kind") == "text") | F.col("kind").isNull()
+    ).withColumn(
+        "text",
+        F.when(F.col("kind") == "text", normalize_text(F.col("text"))),
     )
 
     media_spans = span_cols.filter(F.col("kind") == "media").drop("text")
@@ -135,11 +143,9 @@ def extract_df(
         "doc_id", "kind", "text", "media_ref", "offset"
     )
 
-    unioned = (
-        text_spans.select("doc_id", "kind", "text", "media_ref", "offset")
-        .unionByName(media_out)
-        .unionByName(empty_docs)
-    )
+    unioned = text_spans.select(
+        "doc_id", "kind", "text", "media_ref", "offset"
+    ).unionByName(media_out)
     return stitch(unioned), rec
 
 

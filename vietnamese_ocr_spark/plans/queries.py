@@ -327,6 +327,24 @@ def q_batch_slices(spark, sf):  # B1: fixed-size batch slicing, last partial kep
     )
 
 
+def q_union_merge(spark, sf):  # J2: disjoint batch-result union (inference.py:90)
+    e = t(spark, sf, "events")
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    return (
+        first.unionByName(second)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("event_id").cast("long").alias("id_sum"))
+    )
+
+
+# O4 (epoch reshuffle, orderBy(rand(seed)) — dataloader.py:36) is the one
+# SURVEY §2 operator with no oracle pair: engine RNGs differ by design, so
+# cross-engine value equality is undefined; it is exercised (deterministically
+# within Spark) by randomSplit/orderBy(rand(seed)) in the training-side ops
+# and excluded here on purpose.
+
+
 def q_concat_aug(spark, sf):  # F2/S9: ConcatAug pairing (concat_aug.py:25-43)
     w = Window.partitionBy("source").orderBy("doc_id")
     d = t(spark, sf, "documents").select(
@@ -640,6 +658,13 @@ ORACLE_SQL: dict[str, str] = {
         select vec_id, round(dot / (nv * nq), 6) as cosine
         from scored order by cosine desc, vec_id limit 10
     """,
+    "union_merge": """
+        select event_type, count(*)::bigint as n, sum(event_id)::bigint as id_sum
+        from (select * from events where event_id % 2 = 0
+              union all
+              select * from events where event_id % 2 = 1)
+        group by event_type
+    """,
     "batch_slices": """
         with e as (
           select user_id,
@@ -757,6 +782,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "batch_slices": q_batch_slices,
     "concat_aug": q_concat_aug,
+    "union_merge": q_union_merge,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

@@ -215,6 +215,15 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
         ),
         paths["labels"],
     )
+    # S4: the reference's TSV label format (`train_gt.txt`, vocab.py:4-9 —
+    # "ref\ttext" lines, trailing newline); single-line truths only, since
+    # the TSV row format cannot carry embedded newlines
+    paths["labels_tsv"] = os.path.join(out_dir, "labels.tsv")
+    with open(paths["labels_tsv"], "w", encoding="utf-8") as f:
+        for r in refs:
+            truth = media_rows[r][3]
+            if "\n" not in truth:
+                f.write(f"{r}\t{truth}\n")
     return paths
 
 
