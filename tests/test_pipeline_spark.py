@@ -60,12 +60,61 @@ def test_resume_after_partial_run_equals_full_run(spark, corpus, tmp_path, golde
     weights_bc = broadcast_weights(spark)
     media = spark.read.parquet(corpus["media"])
     extracted, _ = extract_df(spark, half, media, weights_bc)
-    table.append_extracted(extracted)
-    table.commit("partial", {})
+    files = table.append_extracted(extracted)
+    table.commit("partial", {"data_files": files})
 
     run_extract(spark, corpus["documents"], corpus["media"], out, weights_bc=weights_bc)
-    got = _collect_extracted(spark.read.parquet(out + "/extracted"))
+    final = table.read_snapshot(spark)
+    assert final.count() == len(golden)  # no duplicates across the resume
+    got = _collect_extracted(final)
     assert got == {k: v for k, v in golden.items()}
+
+
+def test_snapshot_time_travel(spark, corpus, tmp_path, golden):
+    """read_snapshot(id) sees exactly the docs committed up to that id;
+    uncommitted (orphaned) files are invisible — Iceberg-shim semantics."""
+    from vietnamese_ocr_spark.sources.tableio import ExtractTable
+
+    out = str(tmp_path / "tt")
+    table = ExtractTable(out)
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    weights_bc = broadcast_weights(spark)
+
+    first, _ = extract_df(spark, docs.filter("doc_id < 'doc-00000050'"), media, weights_bc)
+    f1 = table.append_extracted(first)
+    s1 = table.commit("r1", {"data_files": f1})
+    second, _ = extract_df(
+        spark, docs.filter("doc_id >= 'doc-00000050' and doc_id < 'doc-00000100'"),
+        media, weights_bc,
+    )
+    f2 = table.append_extracted(second)
+    s2 = table.commit("r2", {"data_files": f2})
+    # an orphaned write with NO commit (simulated crash)
+    orphan, _ = extract_df(spark, docs.filter("doc_id >= 'doc-00000100'"), media, weights_bc)
+    table.append_extracted(orphan)
+
+    assert table.read_snapshot(spark, s1).count() == 50
+    assert table.read_snapshot(spark, s2).count() == 100
+    assert table.read_snapshot(spark).count() == 100  # orphan invisible
+    done = table.committed_doc_ids(spark)
+    assert done.count() == 100
+
+
+def test_span_equality_generalizes_to_other_seed(spark, tmp_path):
+    """Not tuned to seed 42: a fresh corpus from a different seed must
+    also match the oracle span-for-span."""
+    from vietnamese_ocr_spark.oracle import extract as oracle_extract
+    from vietnamese_ocr_spark.sources.fixtures import generate_corpus
+
+    paths = generate_corpus(60, str(tmp_path / "seed7"), seed=7)
+    want = oracle_extract(paths["documents"], paths["media"])
+    extracted, _ = extract_df(
+        spark,
+        spark.read.parquet(paths["documents"]),
+        spark.read.parquet(paths["media"]),
+    )
+    assert _collect_extracted(extracted) == want
 
 
 def test_lineage_table_written(spark, corpus, tmp_path):

@@ -1,0 +1,96 @@
+"""Scale-behavior properties: skew balance, plan shape, pushdown/pruning.
+
+These don't measure wall time (noisy VM); they assert the *structural*
+properties that make the plan survive a 100x scale-up."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vietnamese_ocr_spark.operators.ocr_stage import salted_repartition
+from vietnamese_ocr_spark.plans.extract import broadcast_weights, extract_df
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_salted_repartition_balances_payload_cost(spark, corpus):
+    """After salting, per-partition payload bytes are balanced: max/mean
+    below 1.5 despite whale docs (north_rule 'skew handled explicitly')."""
+    media = spark.read.parquet(corpus["media"]).select("media_ref", "size_b")
+    n = 8
+    balanced = salted_repartition(media, n)
+    per_part = (
+        balanced.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("size_b").alias("bytes"), F.count("*").alias("rows"))
+        .collect()
+    )
+    assert len(per_part) == n  # no empty partitions
+    sizes = [r["bytes"] for r in per_part]
+    assert max(sizes) / (sum(sizes) / n) < 1.5
+
+
+def test_media_scan_prunes_columns(spark, corpus):
+    """The media scan must read only (media_ref, png, size_b) — never the
+    generator-private truth or the width/height metadata."""
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    extracted, _ = extract_df(spark, docs, media, broadcast_weights(spark))
+    plan = _formatted_plan(extracted)
+    media_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "png" in line
+    ]
+    assert media_schemas, "media scan not found in plan"
+    for line in media_schemas:
+        assert "truth" not in line and "width" not in line and "height" not in line
+
+
+def test_no_cartesian_and_filter_pushed(spark, corpus):
+    docs = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    extracted, _ = extract_df(spark, docs, media, broadcast_weights(spark))
+    plan = _formatted_plan(extracted)
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(media_ref)]" in plan
+
+
+def test_label_join_broadcasts_small_side(spark):
+    """queries.q_label_join must plan a broadcast join (no shuffle of the
+    big fact side for a small dim)."""
+    from vietnamese_ocr_spark.plans.queries import q_label_join
+
+    df = q_label_join(spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_relational_skeleton(spark):
+    """The text-analysis path is pure Column expressions — it must compile
+    into WholeStageCodegen spans, no Python in the hot path."""
+    from vietnamese_ocr_spark.plans.queries import q_quality_score
+
+    df = q_quality_score(spark, "/root/testdata/sf0.001")
+    plan = _formatted_plan(df)
+    assert "codegen id" in plan  # '* Op [codegen id: N]' = WholeStageCodegen span
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("docs_filter", ["doc_id < 'doc-00000020'"])
+def test_pipeline_idempotent(spark, corpus, golden, docs_filter):
+    """Running extract_df twice on the same input yields identical output
+    (SURVEY §5.4 property: pipeline idempotence)."""
+    docs = spark.read.parquet(corpus["documents"]).filter(docs_filter)
+    media = spark.read.parquet(corpus["media"])
+    bc = broadcast_weights(spark)
+    a, _ = extract_df(spark, docs, media, bc)
+    b, _ = extract_df(spark, docs, media, bc)
+    ra = {r["doc_id"]: r["spans"] for r in a.collect()}
+    rb = {r["doc_id"]: r["spans"] for r in b.collect()}
+    assert ra == rb

@@ -205,15 +205,20 @@ def run_extract(
     rec = rec.cache()  # reused by lineage; avoids re-running OCR
     try:
         snapshot_id = table.current_snapshot() + 1
-        table.append_extracted(extracted)
-        n_docs = spark.read.parquet(table.extracted_dir).count()
+        new_files = table.append_extracted(extracted)
         lineage = lineage_df(rec, run_id, snapshot_id)
         table.append_lineage(lineage)
         media_done = rec.count()
         committed = table.commit(
             run_id,
-            {"total_docs_committed": n_docs, "media_recognized_this_run": media_done},
+            {
+                "media_recognized_this_run": media_done,
+                "data_files": new_files,  # snapshot isolation: only files
+                # in the manifest are readable; a crashed run's orphans
+                # are invisible and re-done on resume
+            },
         )
+        n_docs = table.read_snapshot(spark, committed).select("doc_id").count()
     finally:
         rec.unpersist()
     return {"run_id": run_id, "snapshot_id": committed, "total_docs": n_docs}

@@ -72,21 +72,48 @@ class ExtractTable:
         return snaps[-1]["snapshot_id"] if snaps else 0
 
     # -- data --------------------------------------------------------------
+    def _data_files(self) -> set[str]:
+        if not os.path.isdir(self.extracted_dir):
+            return set()
+        return {f for f in os.listdir(self.extracted_dir) if f.endswith(".parquet")}
+
     def has_data(self) -> bool:
-        return os.path.isdir(self.extracted_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.extracted_dir)
-        )
+        return bool(self._data_files())
 
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
-        """doc_ids already extracted — a column-pruned scan (only doc_id is
-        read from the parquet footer-indexed files), fed to the resume
-        anti-join (SURVEY.md §2.3 left-anti; north_rule 'resumable')."""
-        if not self.has_data():
+        """doc_ids already COMMITTED — reads only files recorded in the
+        manifest (an orphaned write from a crashed run is invisible, like
+        Iceberg's uncommitted data files), and only the doc_id column
+        (pruned scan), feeding the resume anti-join (north_rule)."""
+        files = [
+            os.path.join(self.extracted_dir, f)
+            for s in self.manifest()["snapshots"]
+            for f in s.get("data_files", [])
+        ]
+        if not files:
             return None
-        return spark.read.parquet(self.extracted_dir).select("doc_id")
+        return spark.read.parquet(*files).select("doc_id")
 
-    def append_extracted(self, df: DataFrame) -> None:
+    def append_extracted(self, df: DataFrame) -> list[str]:
+        """Append; returns the NEW data files (for the snapshot manifest)."""
+        before = self._data_files()
         df.write.mode("append").parquet(self.extracted_dir)
+        return sorted(self._data_files() - before)
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Time travel: read the table as of `snapshot_id` (default: head) —
+        the union of data files committed by snapshots <= id."""
+        snaps = self.manifest()["snapshots"]
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] <= snapshot_id]
+        files = [
+            os.path.join(self.extracted_dir, f)
+            for s in snaps
+            for f in s.get("data_files", [])
+        ]
+        if not files:
+            raise ValueError(f"no committed data at snapshot {snapshot_id}")
+        return spark.read.parquet(*files)
 
     def append_lineage(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.lineage_dir)

@@ -53,10 +53,11 @@ def stream_extract(
         try:
             run_id = f"epoch-{epoch_id}"
             snapshot_id = table.current_snapshot() + 1
-            table.append_extracted(extracted)
+            new_files = table.append_extracted(extracted)
             table.append_lineage(lineage_df(rec, run_id, snapshot_id))
             table.commit(run_id, {"epoch_id": epoch_id,
-                                  "media_recognized": rec.count()})
+                                  "media_recognized": rec.count(),
+                                  "data_files": new_files})
         finally:
             rec.unpersist()
 
