@@ -272,6 +272,89 @@ def q_sessionize(spark, sf):  # gap > 30 min starts a new session
 # training-data pipeline operators (dedup / similarity / text analysis)
 
 
+def q_asof_last_click(spark, sf):
+    """As-of join (no native Spark op — union-tag + window idiom in
+    operators/asof.py); the DuckDB oracle uses its native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = t(spark, sf, "events")
+    left = e.filter(F.col("event_type") != "click")
+    right = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = asof_join(left, right, "user_id", "ts", "ts", ["event_id"])
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("asof_event_id").alias("n_with_prior_click"),
+        F.coalesce(F.sum("asof_event_id"), F.lit(0)).cast("long").alias("click_id_sum"),
+    )
+
+
+def q_tpch_q1_rollup(spark, sf):  # grouping-set coverage: rollup over Q1 keys
+    li = t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_pivot_event_counts(spark, sf):
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(c).cast("long").alias(f"n_{c}") for c in types])
+    )
+
+
+def q_median_value(spark, sf):  # exact interpolated median (not approx)
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"))
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup: candidate pairs from the same sign-LSH bucket,
+    exact pair cosine — the bounded (never all-pairs) near-dup shape."""
+    emb = t(spark, sf, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(8)
+    ]
+    b = emb.select("vec_id", F.concat(*bits).alias("bucket"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    norms = dims.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    da = dims.select(F.col("vec_id").alias("va"), "pos", F.col("v").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("vb"), "pos", F.col("v").alias("xb"))
+    dots = (
+        pairs.join(da, "va")
+        .join(db, ["vb", "pos"])
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dots.join(na, "va").join(nb, "vb").select(
+        (F.col("dot") / (F.col("na") * F.col("nb"))).alias("c")
+    )
+    near = cos.filter(F.col("c") >= 0.2)
+    return near.agg(
+        F.count("*").alias("n_near_pairs"),
+        F.round(F.coalesce(F.sum("c"), F.lit(0.0)), 6).alias("sum_cosine"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup_stats(t(spark, sf, "events"), "props")
 
@@ -523,6 +606,69 @@ ORACLE_SQL: dict[str, str] = {
                    window w as (partition by user_id order by ts, event_id))
         select user_id, sum(ns)::bigint as n_sessions, count(*)::bigint as n_events
         from g group by user_id
+    """,
+    "asof_last_click": """
+        with l as (select * from events where event_type <> 'click'),
+             r as (select user_id, ts, event_id from events
+                   where event_type = 'click')
+        select l.user_id, count(*)::bigint as n_events,
+               count(r.event_id)::bigint as n_with_prior_click,
+               coalesce(sum(r.event_id), 0)::bigint as click_id_sum
+        from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+        group by l.user_id
+    """,
+    "tpch_q1_rollup": """
+        select l_returnflag, l_linestatus,
+               (sum(l_quantity::decimal(18,2)))::double as sum_qty,
+               count(*)::bigint as count_order
+        from lineitem
+        group by rollup (l_returnflag, l_linestatus)
+    """,
+    "pivot_event_counts": """
+        select user_id,
+               sum(case when event_type = 'click' then 1 else 0 end)::bigint as n_click,
+               sum(case when event_type = 'error' then 1 else 0 end)::bigint as n_error,
+               sum(case when event_type = 'purchase' then 1 else 0 end)::bigint as n_purchase,
+               sum(case when event_type = 'signup' then 1 else 0 end)::bigint as n_signup,
+               sum(case when event_type = 'view' then 1 else 0 end)::bigint as n_view
+        from events group by user_id
+    """,
+    "median_value": """
+        select event_type, round(quantile_cont(value, 0.5), 6) as median_value
+        from events group by event_type
+    """,
+    "dedup_embedding_cosine": """
+        with b as (
+          select vec_id,
+                 concat(case when embedding[1] > 0 then '1' else '0' end,
+                        case when embedding[2] > 0 then '1' else '0' end,
+                        case when embedding[3] > 0 then '1' else '0' end,
+                        case when embedding[4] > 0 then '1' else '0' end,
+                        case when embedding[5] > 0 then '1' else '0' end,
+                        case when embedding[6] > 0 then '1' else '0' end,
+                        case when embedding[7] > 0 then '1' else '0' end,
+                        case when embedding[8] > 0 then '1' else '0' end) as bucket
+          from embeddings),
+        pairs as (
+          select x.vec_id as va, y.vec_id as vb
+          from b x join b y on x.bucket = y.bucket and x.vec_id < y.vec_id),
+        dims as (select vec_id, generate_subscripts(embedding, 1) as pos,
+                        unnest(embedding)::double as v
+                 from embeddings),
+        norms as (select vec_id, sqrt(sum(v * v)) as nrm from dims group by vec_id),
+        dots as (
+          select p.va, p.vb, sum(a.v * bb.v) as dot
+          from pairs p
+          join dims a on a.vec_id = p.va
+          join dims bb on bb.vec_id = p.vb and bb.pos = a.pos
+          group by p.va, p.vb),
+        cos as (
+          select d.dot / (na.nrm * nb.nrm) as c
+          from dots d join norms na on na.vec_id = d.va
+                      join norms nb on nb.vec_id = d.vb)
+        select count(*)::bigint as n_near_pairs,
+               round(coalesce(sum(c), 0), 6) as sum_cosine
+        from cos where c >= 0.2
     """,
     "dedup_exact": """
         select count(*)::bigint as n_total,
@@ -783,6 +929,11 @@ QUERIES = {
     "batch_slices": q_batch_slices,
     "concat_aug": q_concat_aug,
     "union_merge": q_union_merge,
+    "asof_last_click": q_asof_last_click,
+    "tpch_q1_rollup": q_tpch_q1_rollup,
+    "pivot_event_counts": q_pivot_event_counts,
+    "median_value": q_median_value,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
