@@ -24,14 +24,24 @@ MODEL_BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 def recognize_png_batch(
     pngs: list[bytes], recognizer: Recognizer
-) -> tuple[list[str], np.ndarray]:
+) -> tuple[list[str], np.ndarray, list[bool]]:
     """Returns (text per payload — lines joined with newline, payload x 10
-    confidence histograms). Empty strings stay empty ('a' fallback is a
-    pipeline projection, src/utils/inference.py:108-110)."""
+    confidence histograms, decode_ok flags). Empty strings stay empty
+    ('a' fallback is a pipeline projection, src/utils/inference.py:108-110).
+
+    Corrupt payloads are QUARANTINED, not fatal: at 10^12 rows a single
+    bad byte must never kill the job (the single-process reference would
+    just crash). A failed decode yields text '' with decode_ok=False; the
+    lineage table carries the per-partition failure count."""
     owners: list[int] = []
     canvases: list[np.ndarray] = []
+    ok = [True] * len(pngs)
     for i, png in enumerate(pngs):
-        gray = png_decode(png)
+        try:
+            gray = png_decode(png)
+        except Exception:
+            ok[i] = False
+            continue
         for y0, y1 in detect_line_bands(gray):
             owners.append(i)
             canvases.append(preprocess(gray[y0:y1]))
@@ -48,4 +58,4 @@ def recognize_png_batch(
     out = [[] for _ in pngs]
     for owner, text in zip(owners, line_texts):
         out[owner].append(text)
-    return ["\n".join(lines) for lines in out], hist
+    return ["\n".join(lines) for lines in out], hist, ok

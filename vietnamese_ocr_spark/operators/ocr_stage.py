@@ -27,7 +27,7 @@ from ..model.recognizer import Recognizer, weights_from_bytes
 
 OCR_OUTPUT_SCHEMA = (
     "media_ref string, rec_text string, conf_hist array<bigint>, "
-    "n_tokens bigint, part_id int"
+    "n_tokens bigint, decode_ok boolean, part_id int"
 )
 
 _RECOGNIZER: Recognizer | None = None
@@ -51,13 +51,14 @@ def make_ocr_stage(weights_bc):
             if len(pdf) == 0:
                 continue
             refs = pdf["media_ref"].tolist()
-            texts, hist = recognize_png_batch(pdf["png"].tolist(), rec)
+            texts, hist, ok = recognize_png_batch(pdf["png"].tolist(), rec)
             yield pd.DataFrame(
                 {
                     "media_ref": refs,
                     "rec_text": texts,
                     "conf_hist": hist.tolist(),
                     "n_tokens": [int(x) for x in hist.sum(axis=1)],
+                    "decode_ok": ok,
                     "part_id": part_id,
                 }
             )

@@ -35,7 +35,7 @@ def recognize_media(media_rows: list[tuple[str, bytes]], recognizer: Recognizer 
     out: dict[str, str] = {}
     for lo in range(0, len(media_rows), batch_size):
         chunk = media_rows[lo : lo + batch_size]
-        texts, _ = recognize_png_batch([png for _, png in chunk], recognizer)
+        texts, _, _ = recognize_png_batch([png for _, png in chunk], recognizer)
         for (ref, _), text in zip(chunk, texts):
             out[ref] = text if text else "a"
     return out

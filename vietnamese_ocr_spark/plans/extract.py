@@ -168,6 +168,9 @@ def lineage_df(rec: DataFrame, run_id: str, snapshot_id: int) -> DataFrame:
     counts = rec.groupBy("part_id").agg(
         F.count("*").alias("media_count"),
         F.sum("n_tokens").alias("token_count"),
+        F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("decode_failures"),
     )
     return (
         counts.join(hist, "part_id")
