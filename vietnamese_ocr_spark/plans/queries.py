@@ -27,6 +27,10 @@ from ..operators import dedup, similarity, textstats
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the comparisons run against DuckDB's UTC-naive timestamps, and the
+    # timestamp literals below parse in the session zone — pin UTC so the
+    # pairs hold no matter what session the driver hands us
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -259,7 +263,12 @@ def q_window_running_sum(spark, sf):
 def q_sessionize(spark, sf):  # gap > 30 min starts a new session
     e = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional epoch seconds (unix_timestamp truncates sub-seconds, which
+    # can flip a gap sitting exactly on the 1800s boundary); the parquet ts
+    # is TIMESTAMP_NTZ, so go NTZ -> timestamp (UTC session, pinned in t())
+    # -> double
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.select("user_id", new_sess.alias("ns"))
