@@ -364,6 +364,57 @@ def q_dedup_embedding_cosine(spark, sf):
     )
 
 
+# -- multimodal (rows-only: PNG/codec work is not SQL-expressible) ----------
+
+
+def q_multimodal_image_stats(spark, sf):
+    """Binary image assets (rendered in-executors from the documents
+    table) -> decode + per-image stats via operators/multimodal.py."""
+    from ..operators.multimodal import image_features
+    from ..sources.sf_adapter import derive_media
+
+    assets = derive_media(spark, sf).select(
+        F.col("media_ref").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/png").alias("mime"),
+        F.col("png").alias("payload"),
+    )
+    return image_features(assets)
+
+
+def q_multimodal_audio_features(spark, sf):
+    """Stub-decoded audio assets derived deterministically from documents;
+    exercises the framed-feature mapInPandas plumbing."""
+    from ..operators.multimodal import audio_features
+
+    d = t(spark, sf, "documents")
+    assets = d.select(
+        F.concat(F.lit("aud-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("audio/pcm-stub").alias("mime"),
+        F.unhex(F.md5("text")).alias("payload"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.pmod(F.col("n_chars"), F.lit(2000)) + 500).cast("int").alias("duration_ms"),
+    )
+    return audio_features(assets)
+
+
+def q_multimodal_frame_sample(spark, sf):
+    """Stub-decoded video assets: one row fans out to ~n_frames/10 frame
+    rows — the frame-extraction shape."""
+    from ..operators.multimodal import video_frame_sample
+
+    d = t(spark, sf, "documents")
+    assets = d.select(
+        F.concat(F.lit("vid-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/frames-stub").alias("mime"),
+        F.unhex(F.md5("text")).alias("payload"),
+        (F.pmod(F.col("n_chars"), F.lit(80)) + 20).cast("int").alias("n_frames"),
+    )
+    return video_frame_sample(assets)
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup_stats(t(spark, sf, "events"), "props")
 
@@ -943,6 +994,10 @@ QUERIES = {
     "pivot_event_counts": q_pivot_event_counts,
     "median_value": q_median_value,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    # rows-only (no SQL oracle by nature — codec/UDF work):
+    "multimodal_image_stats": q_multimodal_image_stats,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
