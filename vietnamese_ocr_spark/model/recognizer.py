@@ -7,7 +7,8 @@ seeded model IS the semantics contract; the oracle and the Spark
 `mapInPandas` stage run this identical NumPy code on identical `.npz`
 weights.
 
-Architecture (float32 storage; every reduction runs through
+Architecture (uint8 strip storage with float32 accumulators — the stage is
+DRAM-bandwidth-bound at high core counts; every reduction runs through
 einsum(optimize=False), whose fixed per-row loop order makes results
 bit-identical regardless of batch composition — BLAS gemm does NOT
 guarantee that: its blocking varies with the row count, measured divergent
@@ -36,7 +37,7 @@ import io
 
 import numpy as np
 
-from ..functions.imaging import TARGET_H, TARGET_W
+from ..functions.imaging import TARGET_H
 from .glyphs import CELL_W, build_atlas
 from .vocab import EOS, N_SPECIALS, Vocabulary
 

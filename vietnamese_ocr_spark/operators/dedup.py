@@ -15,7 +15,7 @@ never the engines' internal hash() (which differ).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def _words():

@@ -16,7 +16,6 @@ Shared code paths (identical modules, not re-implementations):
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow.parquet as pq
 
 from .functions.text import normalize_py
