@@ -36,7 +36,26 @@ def main(argv: list[str] | None = None) -> int:
     pk = sub.add_parser("package", help="zip the package for spark-submit --py-files")
     pk.add_argument("--out", default="dist/vietnamese_ocr_spark.zip")
 
+    rc = sub.add_parser(
+        "recognize", help="single-image recognition (reference: predict.py --type single)"
+    )
+    rc.add_argument("--png", required=True, help="path to a gray8 PNG")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "recognize":
+        # E2 path: one payload, no Spark — the same shared pipeline the
+        # executors run (model/pipeline.py), so outputs match the cluster
+        from .model.pipeline import recognize_png_batch
+        from .model.recognizer import Recognizer, build_weights
+
+        with open(args.png, "rb") as f:
+            payload = f.read()
+        texts, hist, ok = recognize_png_batch([payload], Recognizer(build_weights()))
+        text = texts[0] if texts[0] else "a"  # src/utils/inference.py:108-110
+        print(json.dumps({"text": text, "decode_ok": ok[0],
+                          "tokens": int(hist[0].sum())}))
+        return 0 if ok[0] else 1
 
     if args.cmd == "package":
         import os
