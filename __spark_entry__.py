@@ -21,6 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES  # noqa: E402
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable INSIDE executors' Python workers.
+
+    Driver-side sys.path does not propagate to workers; if the driver's
+    cwd isn't the repo root, every mapInPandas task would die on import.
+    Ship the same zip `python -m vietnamese_ocr_spark package` builds,
+    once per SparkContext (addPyFile distributes + prepends to worker
+    sys.path — the local-mode equivalent of spark-submit --py-files).
+    """
+    ctx_id = spark.sparkContext.applicationId
+    if ctx_id in _SHIPPED:
+        return
+    import tempfile
+
+    from vietnamese_ocr_spark.packaging import build_pyfiles_zip
+
+    zip_path = os.path.join(tempfile.gettempdir(), f"vos_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        build_pyfiles_zip(zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(ctx_id)
+
 
 def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: derive interleaved docs+media from the sf documents table,
@@ -50,13 +75,22 @@ def _ocr_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ship_package(spark)
     return _ocr_extract(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)  # no-op after the first call per context
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = dict(QUERIES)
-    q["ocr_extract"] = _ocr_extract
-    q["ocr_recognize"] = _ocr_recognize
+    q = {name: _wrap(fn) for name, fn in QUERIES.items()}
+    q["ocr_extract"] = _wrap(_ocr_extract)
+    q["ocr_recognize"] = _wrap(_ocr_recognize)
     return q
 
 
