@@ -63,6 +63,14 @@ def test_multiline_media_line_count_preserved(corpus):
             assert len(line) > 0
 
 
+def test_dangling_media_ref_dropped(golden):
+    """doc 7 references a payload absent from the media table: the media
+    span is dropped (KeyError-drop, J1 semantics); the text span stays."""
+    spans = golden["doc-00000007"]
+    assert [s[0] for s in spans] == ["text"]
+    assert all(s[2] != "img-dangling-ref" for s in spans)
+
+
 def test_offsets_sorted(golden):
     for spans in golden.values():
         offs = [s[3] for s in spans]

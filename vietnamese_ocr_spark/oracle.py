@@ -55,6 +55,13 @@ def extract(documents_path: str, media_path: str) -> dict[str, list[tuple]]:
         out_spans = []
         for s in spans or []:
             if s["kind"] == "media":
+                if s["media_ref"] not in rec:
+                    # dangling media_ref: payload missing from the media
+                    # table -> span dropped, mirroring the reference's
+                    # KeyError-as-inner-join-drop lookup semantics
+                    # (src/utils/dataloader.py:48; SURVEY §2.3 J1) and the
+                    # Spark inner join on media_ref
+                    continue
                 text = rec[s["media_ref"]]
             else:
                 text = normalize_py(s["text"])

@@ -148,6 +148,11 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
             # multi-line media: exercises the detection stage
             lines = "\n".join(_rand_truth(rng, letters) for _ in range(3))
             push("media", "", add_media(rng, lines, 64))
+        elif i == 7:
+            # dangling media_ref: payload missing from the media table ->
+            # the span is dropped (KeyError-drop semantics, oracle + join)
+            push("text", _rand_text_span(rng, letters), "")
+            push("media", "", "img-dangling-ref")
         else:
             whale = rng.random() < 0.05
             n_spans = int(rng.integers(30, 61)) if whale else int(rng.integers(1, 13))
