@@ -25,11 +25,15 @@ HEADLINE = [
     "tpch_q5",
     "window_running_sum",
     "sessionize",
+    "asof_last_click",
     "cer_corpus",
     "vocab_build",
+    "dedup_exact",
     "dedup_minhash_sig",
     "dedup_simhash",
     "similarity_topk",
+    "similarity_ivf_topk",
+    "lang_id",
     "quality_score",
 ]
 
