@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -41,7 +42,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     rc.add_argument("--png", required=True, help="path to a gray8 PNG")
 
+    st = sub.add_parser("status", help="show an extract table's snapshots + lineage")
+    st.add_argument("--out", required=True, help="extract table root dir")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "status":
+        import duckdb
+
+        from .sources.tableio import ExtractTable
+
+        table = ExtractTable(args.out)
+        snaps = table.manifest()["snapshots"]
+        summary = {"snapshots": len(snaps), "head": snaps[-1] if snaps else None}
+        lineage_glob = f"{table.lineage_dir}/*.parquet"
+        if os.path.isdir(table.lineage_dir):
+            row = duckdb.sql(
+                f"select count(*) parts, coalesce(sum(media_count),0) media, "
+                f"coalesce(sum(token_count),0) tokens, "
+                f"coalesce(sum(decode_failures),0) failures "
+                f"from '{lineage_glob}'"
+            ).fetchone()
+            summary["lineage"] = {
+                "partitions": row[0], "media_recognized": int(row[1]),
+                "tokens": int(row[2]), "decode_failures": int(row[3]),
+            }
+        print(json.dumps(summary, default=str))
+        return 0
 
     if args.cmd == "recognize":
         # E2 path: one payload, no Spark — the same shared pipeline the
@@ -58,21 +85,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if ok[0] else 1
 
     if args.cmd == "package":
-        import os
-        import zipfile
+        from .packaging import build_pyfiles_zip
 
-        pkg_root = os.path.dirname(os.path.abspath(__file__))
-        os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
-        with zipfile.ZipFile(args.out, "w", zipfile.ZIP_DEFLATED) as zf:
-            for dirpath, _, files in os.walk(pkg_root):
-                if "__pycache__" in dirpath:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_root))
-                        zf.write(full, rel)
-        print(json.dumps({"py_files": args.out}))
+        print(json.dumps({"py_files": build_pyfiles_zip(args.out)}))
         return 0
 
     if args.cmd == "synth":
