@@ -50,3 +50,20 @@ def test_query_matches_oracle(name, spark, duck):
 def test_rows_only_queries_run(name, spark):
     df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
     assert df.count() > 0
+
+
+def test_rows_only_schemas_stable(spark):
+    """The driver records rows+schema for oracle-less queries; pin the
+    schemas so they cannot drift silently between rounds."""
+    q = entrymod.queries()
+    want = {
+        "ocr_extract": "doc_id:string|spans:array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        "ocr_recognize": "media_ref:string|rec_text:string|n_tokens:bigint",
+        "multimodal_image_stats": "asset_id:string|width:int|height:int|mean_lum:double|ink_ratio:double",
+        "multimodal_audio_features": "asset_id:string|n_samples:bigint|features:array<float>",
+        "multimodal_frame_sample": "asset_id:string|frame_idx:int|phash:string",
+    }
+    for name, expected in want.items():
+        df = q[name](spark, "/root/testdata/sf0.001")
+        got = "|".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
+        assert got == expected, f"{name}: {got}"
