@@ -53,11 +53,12 @@ def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vietnamese_ocr_spark.plans.extract import extract_df
     from vietnamese_ocr_spark.sources.sf_adapter import derive_documents, derive_media
 
-    # cache: the derived corpus is consumed by multiple plan branches
-    # (text path, media path, doc-id preservation join); with a real
-    # parquet/Iceberg input those would be cheap pruned scans instead
-    documents = derive_documents(spark, sf_dir).cache()
-    media = derive_media(spark, sf_dir).cache()
+    # no caching here: extract_df persists the exploded scalar span
+    # projection internally (one documents pass, strings/ints only), and
+    # media payloads are consumed exactly once — caching PNG binaries
+    # would pin executor memory for nothing at scale
+    documents = derive_documents(spark, sf_dir)
+    media = derive_media(spark, sf_dir)
     extracted, _ = extract_df(spark, documents, media)
     return extracted
 

@@ -43,3 +43,52 @@ def test_first_seen_dedup_across_microbatches(spark, corpus, tmp_path):
     # every digest exactly once, despite the duplicated micro-batch
     assert len(digests) == len(set(digests))
     assert len(digests) == n_docs
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _dedup_fn directly."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_state_size_bounded_under_duplicate_heavy_replay():
+    """Replaying many duplicate-heavy batches must NOT grow state: the
+    Bloom filter is fixed-size by construction (the round-1 design kept
+    the full digest history and re-sorted it every batch)."""
+    import hashlib
+
+    import pandas as pd
+
+    from vietnamese_ocr_spark.streaming.dedup_stream import BLOOM_BITS, _dedup_fn
+
+    state = _FakeState()
+    sizes = []
+    emitted = 0
+    for batch in range(50):
+        # 20 new digests + 80 replays of old ones per batch
+        new = [hashlib.md5(f"n-{batch}-{i}".encode()).hexdigest() for i in range(20)]
+        old = [hashlib.md5(f"n-0-{i % 20}".encode()).hexdigest() for i in range(80)]
+        pdf = pd.DataFrame(
+            {"doc_id": [f"d{batch}-{j}" for j in range(100)], "digest": new + old}
+        )
+        (out,) = list(_dedup_fn(("ab",), iter([pdf]), state))
+        emitted += len(out)
+        sizes.append(len(state.get[0]))
+    # state is exactly the fixed Bloom byte size, every batch — a plateau
+    assert set(sizes) == {BLOOM_BITS // 8}
+    # first-seen semantics held across the replay (no false positives at
+    # this fill level: 1000 digests in 2^20 bits)
+    assert emitted == 50 * 20
+    assert state.get[1] == 50 * 20

@@ -35,6 +35,40 @@ def test_empty_doc_survives(spark_extracted):
     assert spark_extracted["doc-00000000"] == []
 
 
+def test_unknown_kind_doc_survives_with_empty_spans(spark_extracted):
+    """doc 9 has ONLY an unknown-kind span: the span is dropped but the
+    doc must not vanish (unknown kinds route to the NULL-kind marker)."""
+    assert spark_extracted["doc-00000009"] == []
+
+
+def test_duplicate_offset_tie_is_deterministic(spark_extracted, golden):
+    """doc 8 carries three spans at offset 2 — composite key order."""
+    spans = spark_extracted["doc-00000008"]
+    assert [s[3] for s in spans] == [2, 2, 2]
+    assert spans == golden["doc-00000008"]
+
+
+def test_documents_scanned_once(spark, corpus):
+    """The exploded span projection is persisted, so the three consumers
+    (text branch, media branch, distinct-ref) share ONE documents scan —
+    at 10^12 rows the difference is two full passes of the fattest table."""
+    documents = spark.read.parquet(corpus["documents"])
+    media = spark.read.parquet(corpus["media"])
+    extracted, _ = extract_df(spark, documents, media)
+    plan = extracted._jdf.queryExecution().executedPlan().toString()
+    # the plan string reprints the cached child under every
+    # InMemoryTableScan, so "one real scan" shows up as: every documents
+    # FileScan occurrence paired 1:1 with an InMemoryTableScan node (the
+    # FileScan executes once, when the cache first materializes). Without
+    # the persist this is 3 uncached scans vs 0 InMemoryTableScans.
+    n_doc_scans = plan.count("documents.parquet")
+    n_cached_reads = plan.count("InMemoryTableScan")
+    assert n_doc_scans > 0 and n_doc_scans == n_cached_reads, (
+        f"documents FileScans={n_doc_scans}, InMemoryTableScans="
+        f"{n_cached_reads}:\n{plan[:2000]}"
+    )
+
+
 def test_run_extract_commits_and_resumes(spark, corpus, tmp_path, golden):
     out = str(tmp_path / "table")
     r1 = run_extract(spark, corpus["documents"], corpus["media"], out)

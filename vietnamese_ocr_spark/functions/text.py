@@ -23,7 +23,10 @@ _DROP_TAGS = ("nav", "script", "style", "header", "footer", "aside")
 _DROP_PATTERNS = [rf"(?s)<{t}\b[^>]*>.*?</{t}>" for t in _DROP_TAGS]
 # any remaining markup tags are unwrapped (content kept)
 _TAG_PATTERN = r"<[^>]+>"
-_WS_PATTERN = r"\s+"
+# explicit ASCII class, NOT \s: Python re \s matches unicode whitespace
+# (NBSP, U+2028, ...) while Java's default \s is ASCII-only, so \s would
+# silently fork the Spark and oracle normalizations on non-ASCII whitespace
+_WS_PATTERN = r"[ \t\r\n\f\x0B]+"
 
 
 def normalize_text(col: Column) -> Column:

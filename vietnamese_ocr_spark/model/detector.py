@@ -51,3 +51,22 @@ def detect_line_bands(gray: np.ndarray) -> list[tuple[int, int]]:
         y1 = h if i == len(cores) - 1 else (c1 + cores[i + 1][0]) // 2
         bands.append((y0, y1))
     return bands
+
+
+def tighten_band(gray: np.ndarray, y0: int, y1: int) -> tuple[int, int]:
+    """Scale-normalize a band: shrink [y0, y1) to its tight inked row range.
+
+    A midpoint band carries half the inter-line gap as blank margin, so the
+    aspect-preserving resize (P3) would shrink the glyphs relative to a
+    single-line render of the same text — recognition stays deterministic
+    but drifts off the template scale. Cropping to the inked core removes
+    the margin, making the crop pixel-identical to the line's standalone
+    render, so multi-line recognition is template-exact (CER 0) too.
+
+    Blank bands (no ink) are returned unchanged — a blank image must keep
+    producing the full-canvas empty prediction ('a' fallback path)."""
+    has = (gray[y0:y1] < INK_PIXEL_THRESH).any(axis=1)
+    if not has.any():
+        return (y0, y1)
+    idx = np.flatnonzero(has)
+    return (y0 + int(idx[0]), y0 + int(idx[-1]) + 1)

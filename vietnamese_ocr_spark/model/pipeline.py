@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..functions.imaging import png_decode, preprocess
-from .detector import detect_line_bands
+from .detector import detect_line_bands, tighten_band
 from .recognizer import Recognizer
 
 MODEL_BATCH = 32  # reference inference batch, src/utils/inference.py:44
@@ -43,8 +43,12 @@ def recognize_png_batch(
             ok[i] = False
             continue
         for y0, y1 in detect_line_bands(gray):
+            # tight crop = scale-normalized line (template-exact multi-line
+            # recognition); single-line renders have ink in every row, so
+            # their band is returned unchanged (bit-identical behavior)
+            ty0, ty1 = tighten_band(gray, y0, y1)
             owners.append(i)
-            canvases.append(preprocess(gray[y0:y1]))
+            canvases.append(preprocess(gray[ty0:ty1]))
 
     line_texts: list[str] = []
     hist = np.zeros((len(pngs), 10), dtype=np.int64)

@@ -7,7 +7,8 @@ Design for 10^12 rows:
     groupBy instead of an O(n^2) cross join;
   * simhash: per-(row,bit) partial aggregation commutes, so the shuffle
     carries (doc_id, bit, weight) partials only;
-  * jaccard: computed only on banded candidate pairs, never all-pairs.
+  * jaccard: candidate pairs from the shared-shingle join with hot
+    shingles frequency-capped first, never an all-pairs cross join.
 
 Cross-engine determinism: every hash is md5 (identical in Spark & DuckDB),
 never the engines' internal hash() (which differ).
@@ -122,20 +123,42 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
-def jaccard_candidates(docs: DataFrame, shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """n-gram Jaccard over banded candidates.
+def jaccard_candidates(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """n-gram Jaccard over shared-shingle candidates, hot shingles capped.
 
-    Candidates = doc pairs sharing at least one shingle-band bucket
-    (md5 prefix of a shingle), then exact |A∩B|/|A∪B| on the pair —
-    the standard shuffle-bounded near-dup join, never a cross join.
+    Candidate pairs come from the per-shingle self-join, so a boilerplate
+    shingle appearing in d documents contributes O(d^2) pairs — the classic
+    scale-killer on real corpora. `max_shingle_df` applies the standard
+    frequency cap FIRST: shingles with document frequency > max_shingle_df
+    are dropped from candidate generation (an anti-join on the tiny hot-
+    shingle set). A dropped shingle shrinks the measured intersection only
+    for pairs that were only connected by boilerplate — exactly the pairs
+    near-dup dedup wants to ignore. Per-doc sizes are computed BEFORE the
+    cap so the Jaccard denominator stays exact for surviving pairs whose
+    intersection contains no hot shingle.
+
+    The threshold is applied to the UNROUNDED ratio (matching the SQL
+    oracle); rounding to 6 digits happens only on the output column.
     """
     sh = (
         add_shingles(docs, shingle_n)
         .select("doc_id", F.explode("shingles").alias("s"))
         .distinct()
     )
-    sh = sh.select("doc_id", "s", F.substring(F.md5("s"), 1, 6).alias("bucket"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(hot, "s", "left_anti")
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
     inter = (
@@ -146,15 +169,10 @@ def jaccard_candidates(docs: DataFrame, shingle_n: int = 3, threshold: float = 0
     )
     sza = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    ratio = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
         inter.join(sza, "da")
         .join(szb, "db")
-        .select(
-            "da",
-            "db",
-            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6).alias(
-                "jaccard"
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(ratio >= threshold)
+        .select("da", "db", F.round(ratio, 6).alias("jaccard"))
     )

@@ -63,9 +63,17 @@ def extract(documents_path: str, media_path: str) -> dict[str, list[tuple]]:
                     # Spark inner join on media_ref
                     continue
                 text = rec[s["media_ref"]]
-            else:
+            elif s["kind"] == "text":
                 text = normalize_py(s["text"])
+            else:
+                # unknown span kind: dropped from the span sequence but the
+                # doc itself survives (Spark routes these to the NULL-kind
+                # marker path, extract.py); matches the engine exactly
+                continue
             out_spans.append((s["kind"], text, s["media_ref"], s["offset"]))
-        out_spans.sort(key=lambda t: t[3])
+        # composite key matching Spark's array_sort over
+        # struct(offset, kind, text, media_ref): offset ties break
+        # deterministically and identically on both sides
+        out_spans.sort(key=lambda t: (t[3], t[0], t[1], t[2]))
         golden[doc_id] = out_spans
     return golden

@@ -29,6 +29,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,13 +109,16 @@ def extract_df(
     """
     weights_bc = weights_bc or broadcast_weights(spark)
 
-    # NB each branch below is a separate scan of `documents` — Spark does
-    # not share scans across diverging subtrees, and nested-schema pruning
-    # does not fire through explode() in Spark 4.1 (verified via
-    # explain: ReadSchema keeps the full spans struct), so the branch
-    # count IS the full-table scan count. Text + empty-doc handling share
-    # one branch; media spans are the other; a pruned third scan feeds the
-    # distinct-ref projection.
+    # Spark does not share scans across diverging subtrees, and nested-
+    # schema pruning does not fire through explode() in Spark 4.1 (verified
+    # via explain: ReadSchema keeps the full spans struct) — so without
+    # intervention the three consumers below (text branch, media branch,
+    # distinct-ref projection) would each rescan `documents` in full: three
+    # passes over the fattest table at 10^12 rows. Persisting the exploded
+    # scalar projection (strings + ints only, never payloads) materializes
+    # the scan ONCE; MEMORY_AND_DISK spills cleanly when the exploded spans
+    # exceed executor memory, which is still one write + three local reads
+    # instead of three remote full-table scans.
     exploded = documents.select("doc_id", F.explode_outer("spans").alias("span"))
     span_cols = exploded.select(
         "doc_id",
@@ -122,14 +126,19 @@ def extract_df(
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
-    )
-    # one branch for text spans AND empty-doc markers (NULL kind rides the
-    # union into stitch instead of needing an outer join back)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one branch for text spans AND marker rows: NULL kind (empty doc) and
+    # unknown kinds both become NULL-kind markers that ride the union into
+    # stitch — the doc survives with its known spans (or []) and no outer
+    # join is needed; `when` without `otherwise` NULLs non-text kinds
     text_spans = span_cols.filter(
-        (F.col("kind") == "text") | F.col("kind").isNull()
-    ).withColumn(
-        "text",
-        F.when(F.col("kind") == "text", normalize_text(F.col("text"))),
+        (F.col("kind") != "media") | F.col("kind").isNull()
+    ).select(
+        "doc_id",
+        F.when(F.col("kind") == "text", F.lit("text")).alias("kind"),
+        F.when(F.col("kind") == "text", normalize_text(F.col("text"))).alias("text"),
+        "media_ref",
+        "offset",
     )
 
     media_spans = span_cols.filter(F.col("kind") == "media").drop("text")
@@ -224,4 +233,7 @@ def run_extract(
         n_docs = table.read_snapshot(spark, committed).select("doc_id").count()
     finally:
         rec.unpersist()
+        # release the span_cols projection persisted inside extract_df
+        # (run_extract owns the whole job, so a blanket clearCache is safe)
+        spark.catalog.clearCache()
     return {"run_id": run_id, "snapshot_id": committed, "total_docs": n_docs}

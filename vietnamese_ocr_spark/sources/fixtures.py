@@ -94,6 +94,9 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
       doc 2: media truth 40 chars           (decode cap / flush at 32)
       doc 3: reuses doc 2's media_ref       (duplicate ref across docs)
       doc 4: text-only doc; doc 5: media-only doc
+      doc 6: multi-line media; doc 7: dangling media_ref (span dropped)
+      doc 8: duplicate offsets (+ one unknown kind); doc 9: only an
+             unknown-kind span (doc survives with spans=[])
     ~5% whale docs with 30-60 media spans at max height (skew fuel).
     """
     vocab = Vocabulary()
@@ -153,6 +156,18 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
             # the span is dropped (KeyError-drop semantics, oracle + join)
             push("text", _rand_text_span(rng, letters), "")
             push("media", "", "img-dangling-ref")
+        elif i == 8:
+            # duplicate offsets: the tie MUST break identically on both
+            # sides — composite sort key (offset, kind, text, media_ref)
+            ref = add_media(rng, _rand_truth(rng, letters), 64)
+            spans.append({"kind": "text", "text": "<p>tie zz</p>", "media_ref": "", "offset": 2})
+            spans.append({"kind": "text", "text": "tie aa", "media_ref": "", "offset": 2})
+            spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": 2})
+            spans.append({"kind": "sidebar", "text": "mixed unknown", "media_ref": "", "offset": 5})
+        elif i == 9:
+            # ONLY an unknown-kind span: it is dropped from the sequence
+            # but the doc must survive with spans=[] on both sides
+            push("widget", "opaque payload", "")
         else:
             whale = rng.random() < 0.05
             n_spans = int(rng.integers(30, 61)) if whale else int(rng.integers(1, 13))
