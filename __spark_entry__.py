@@ -16,6 +16,7 @@ import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,6 +64,25 @@ def _ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extracted
 
 
+def _ocr_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract projection of the flagship: spans exploded to flat
+    scalar rows (doc_id, seq, kind, text, media_ref, offset). The driver's
+    canonicalizer can't hash array<struct> columns (the round-1 red rows),
+    and the flat shape is value-checkable against the single-process
+    golden parquet (vietnamese_ocr_spark/golden.py) row for row."""
+    extracted = _ocr_extract(spark, sf_dir)
+    return extracted.selectExpr(
+        "doc_id", "posexplode_outer(spans) as (seq, span)"
+    ).select(
+        "doc_id",
+        F.col("seq").cast("int").alias("seq"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def _ocr_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recognition table only: media_ref -> recognized text + confidence."""
     from vietnamese_ocr_spark.plans.extract import broadcast_weights, recognize_media_df
@@ -90,10 +110,36 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {name: _wrap(fn) for name, fn in QUERIES.items()}
-    q["ocr_extract"] = _wrap(_ocr_extract)
+    q["ocr_extract"] = _wrap(_ocr_extract_flat)
     q["ocr_recognize"] = _wrap(_ocr_recognize)
     return q
 
 
+# the driver runs the correctness comparison at sf0.01 (driver contract)
+_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+
+_GOLDEN_COLS = {
+    "ocr_recognize": "media_ref, rec_text, n_tokens",
+    "ocr_extract": "doc_id, seq, kind, text, media_ref, \"offset\"",
+    "multimodal_image_stats": "asset_id, width, height, mean_lum, ink_ratio",
+    "multimodal_audio_features": "asset_id, n_samples, features_md5",
+    "multimodal_frame_sample": "asset_id, frame_idx, phash",
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    sql = dict(ORACLE_SQL)
+    # Non-SQL-expressible queries (recognition, codec stubs) are still
+    # deterministic: precompute the answer single-process (the reference's
+    # execution model) and let DuckDB read the golden parquet — a full
+    # value-hash check of the distributed pipeline against a one-thread
+    # rerun of the same shared semantics (vietnamese_ocr_spark/golden.py).
+    try:
+        from vietnamese_ocr_spark.golden import ensure_sf_golden
+
+        paths = ensure_sf_golden(_CORRECTNESS_SF_DIR)
+        for name, cols in _GOLDEN_COLS.items():
+            sql[name] = f"SELECT {cols} FROM read_parquet('{paths[name]}')"
+    except Exception:
+        pass  # testdata absent (local dev) -> those queries stay rows-only
+    return sql

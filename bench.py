@@ -30,11 +30,15 @@ HEADLINE = [
     "vocab_build",
     "dedup_exact",
     "dedup_minhash_sig",
+    "dedup_minhash_bands",
     "dedup_simhash",
+    "dedup_jaccard",
     "similarity_topk",
     "similarity_ivf_topk",
     "lang_id",
     "quality_score",
+    "pivot_event_counts",
+    "multimodal_image_stats",
 ]
 
 

@@ -49,13 +49,17 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def compare_one(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
+def compare_one(
+    name: str, spark, con, sf_dir: str, queries=None, oracle=None
+) -> tuple[bool, str]:
     from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir)
+    queries = queries if queries is not None else QUERIES
+    oracle = oracle if oracle is not None else ORACLE_SQL
+    sdf = queries[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ORACLE_SQL[name])
+    res = con.execute(oracle[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
 
@@ -76,19 +80,20 @@ def compare_one(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
+    import __spark_entry__ as entrymod
     from vietnamese_ocr_spark.config import get_spark
-    from vietnamese_ocr_spark.plans.queries import ORACLE_SQL, QUERIES
 
+    queries, oracle = entrymod.queries(), entrymod.oracle_sql()
     spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
     con = duck_connection(sf_dir)
     failed = []
-    names = only or list(QUERIES)
+    names = only or list(queries)
     for name in names:
-        if name not in ORACLE_SQL:
+        if name not in oracle:
             print(f"  (rows-only) {name}")
             continue
         try:
-            ok, msg = compare_one(name, spark, con, sf_dir)
+            ok, msg = compare_one(name, spark, con, sf_dir, queries, oracle)
         except Exception as ex:
             ok, msg = False, f"EXC {type(ex).__name__}: {str(ex)[:300]}"
         print(("PASS" if ok else "FAIL"), name, "—", msg)

@@ -42,7 +42,9 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(name, spark, duck):
-    ok, msg = compare_one(name, spark, duck, SF_DIR)
+    ok, msg = compare_one(
+        name, spark, duck, SF_DIR, entrymod.queries(), entrymod.oracle_sql()
+    )
     assert ok, f"{name}: {msg}"
 
 
@@ -52,18 +54,22 @@ def test_rows_only_queries_run(name, spark):
     assert df.count() > 0
 
 
-def test_rows_only_schemas_stable(spark):
-    """The driver records rows+schema for oracle-less queries; pin the
-    schemas so they cannot drift silently between rounds."""
+def test_driver_surface_schemas_stable(spark):
+    """Pin the driver-facing schemas of the golden-checked queries so they
+    cannot drift silently between rounds. All columns are SCALAR — the
+    driver's canonicalizer crashes on array/struct columns (round-1 red
+    rows), so an array column reappearing here is a regression."""
     q = entrymod.queries()
     want = {
-        "ocr_extract": "doc_id:string|spans:array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        "ocr_extract": "doc_id:string|seq:int|kind:string|text:string|media_ref:string|offset:int",
         "ocr_recognize": "media_ref:string|rec_text:string|n_tokens:bigint",
         "multimodal_image_stats": "asset_id:string|width:int|height:int|mean_lum:double|ink_ratio:double",
-        "multimodal_audio_features": "asset_id:string|n_samples:bigint|features:array<float>",
+        "multimodal_audio_features": "asset_id:string|n_samples:bigint|features_md5:string",
         "multimodal_frame_sample": "asset_id:string|frame_idx:int|phash:string",
     }
     for name, expected in want.items():
         df = q[name](spark, "/root/testdata/sf0.001")
         got = "|".join(f"{f.name}:{f.dataType.simpleString()}" for f in df.schema.fields)
         assert got == expected, f"{name}: {got}"
+        for f in df.schema.fields:
+            assert "array" not in f.dataType.simpleString(), f"{name}.{f.name}"

@@ -40,7 +40,9 @@ IMAGE_FEATURES_DDL = (
     "asset_id string, width int, height int, mean_lum double, ink_ratio double"
 )
 RESIZED_DDL = "asset_id string, payload binary, width int, height int"
-AUDIO_FEATURES_DDL = "asset_id string, n_samples bigint, features array<float>"
+AUDIO_FEATURES_DDL = (
+    "asset_id string, n_samples bigint, features array<float>, features_md5 string"
+)
 FRAME_SAMPLE_DDL = "asset_id string, frame_idx int, phash string"
 
 
@@ -55,6 +57,18 @@ def _require_mime(mime: str, supported: tuple[str, ...]) -> None:
 
 # -- image: REAL ------------------------------------------------------------
 
+def image_stats(img: np.ndarray) -> dict:
+    """Per-image stats on a decoded gray array — shared by the Spark stage
+    and the single-process golden generator (golden.py), so the driver's
+    value-hash comparison checks one code path against itself run twice."""
+    return {
+        "width": img.shape[1],
+        "height": img.shape[0],
+        "mean_lum": round(float(img.mean()), 4),
+        "ink_ratio": round(float((img < 128).mean()), 4),
+    }
+
+
 def image_features(assets: DataFrame) -> DataFrame:
     """Decode + per-image stats; real PNG path, vectorized per Arrow batch."""
 
@@ -63,16 +77,7 @@ def image_features(assets: DataFrame) -> DataFrame:
             rows = []
             for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
                 _require_mime(mime, ("image/png",))
-                img = png_decode(payload)
-                rows.append(
-                    {
-                        "asset_id": asset_id,
-                        "width": img.shape[1],
-                        "height": img.shape[0],
-                        "mean_lum": round(float(img.mean()), 4),
-                        "ink_ratio": round(float((img < 128).mean()), 4),
-                    }
-                )
+                rows.append({"asset_id": asset_id, **image_stats(png_decode(payload))})
             yield pd.DataFrame(rows)
 
     return assets.filter("kind = 'image'").select("asset_id", "mime", "payload").mapInPandas(
@@ -114,12 +119,31 @@ def _fake_pcm(payload: bytes, n_samples: int) -> np.ndarray:
     return rng.standard_normal(n_samples).astype(np.float32)
 
 
+def audio_feature_row(payload: bytes, sr: int, dur_ms: int, frame: int = 512) -> dict:
+    """One asset's framed-RMS feature vector + its canonical digest —
+    shared by the Spark stage and the golden generator (golden.py).
+    features_md5 hashes the %.6f rendering of each float32 feature, so the
+    driver's canonicalizer gets a scalar column instead of an array."""
+    n = max(frame, int(int(sr) * int(dur_ms) / 1000))
+    pcm = _fake_pcm(payload, n)
+    usable = (len(pcm) // frame) * frame
+    frames = pcm[:usable].reshape(-1, frame)
+    rms = np.sqrt(np.einsum("nf,nf->n", frames, frames) / frame)
+    pooled = np.interp(
+        np.linspace(0, 1, 16), np.linspace(0, 1, len(rms)), rms
+    ).astype(np.float32)
+    digest = hashlib.md5(
+        ",".join(f"{v:.6f}" for v in pooled).encode("ascii")
+    ).hexdigest()
+    return {"n_samples": n, "features": pooled.tolist(), "features_md5": digest}
+
+
 def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
     """Frame-energy feature vector (MFCC-shaped plumbing, stub decode).
 
     Output: 16 float32 features per asset — framed RMS energies pooled to a
     fixed-length vector, exactly the batch/shape contract a real MFCC
-    stage would have."""
+    stage would have — plus the scalar features_md5 digest."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,16 +153,8 @@ def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
                 pdf["sample_rate"], pdf["duration_ms"],
             ):
                 _require_mime(mime, ("audio/pcm-stub",))
-                n = max(frame, int(int(sr) * int(dur) / 1000))
-                pcm = _fake_pcm(payload, n)
-                usable = (len(pcm) // frame) * frame
-                frames = pcm[:usable].reshape(-1, frame)
-                rms = np.sqrt(np.einsum("nf,nf->n", frames, frames) / frame)
-                pooled = np.interp(
-                    np.linspace(0, 1, 16), np.linspace(0, 1, len(rms)), rms
-                ).astype(np.float32)
                 rows.append(
-                    {"asset_id": asset_id, "n_samples": n, "features": pooled.tolist()}
+                    {"asset_id": asset_id, **audio_feature_row(payload, sr, dur, frame)}
                 )
             yield pd.DataFrame(rows)
 

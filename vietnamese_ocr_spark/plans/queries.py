@@ -384,7 +384,10 @@ def q_multimodal_image_stats(spark, sf):
 
 def q_multimodal_audio_features(spark, sf):
     """Stub-decoded audio assets derived deterministically from documents;
-    exercises the framed-feature mapInPandas plumbing."""
+    exercises the framed-feature mapInPandas plumbing. The driver surface
+    carries the scalar features_md5 digest instead of the float array —
+    the canonicalizer can't hash array columns, and the digest makes the
+    row value-checkable against the single-process golden (golden.py)."""
     from ..operators.multimodal import audio_features
 
     d = t(spark, sf, "documents")
@@ -396,7 +399,7 @@ def q_multimodal_audio_features(spark, sf):
         F.lit(16000).cast("int").alias("sample_rate"),
         (F.pmod(F.col("n_chars"), F.lit(2000)) + 500).cast("int").alias("duration_ms"),
     )
-    return audio_features(assets)
+    return audio_features(assets).select("asset_id", "n_samples", "features_md5")
 
 
 def q_multimodal_frame_sample(spark, sf):
@@ -481,11 +484,19 @@ def q_union_merge(spark, sf):  # J2: disjoint batch-result union (inference.py:9
     )
 
 
-# O4 (epoch reshuffle, orderBy(rand(seed)) — dataloader.py:36) is the one
-# SURVEY §2 operator with no oracle pair: engine RNGs differ by design, so
-# cross-engine value equality is undefined; it is exercised (deterministically
-# within Spark) by randomSplit/orderBy(rand(seed)) in the training-side ops
-# and excluded here on purpose.
+def q_epoch_shuffle(spark, sf):  # S2/O4: seeded epoch reshuffle (dataloader.py:18-19,36)
+    """Keyed seeded permutation (operators/reshuffle.py): md5(seed:epoch:key)
+    is a pure row function, so the epoch order is identical across engines
+    AND cluster sizes — unlike rand(seed), which depends on partitioning.
+    The global row_number here exists for the oracle check; the production
+    training path consumes the sorted order directly (no single-reducer)."""
+    from ..operators.reshuffle import shuffle_key
+
+    d = t(spark, sf, "documents")
+    w = Window.orderBy(shuffle_key("doc_id", 42, 0), F.col("doc_id"))
+    return d.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("position")
+    )
 
 
 def q_concat_aug(spark, sf):  # F2/S9: ConcatAug pairing (concat_aug.py:25-43)
@@ -954,6 +965,12 @@ ORACLE_SQL: dict[str, str] = {
         select doc_id, list_min(list_transform(shingles, s -> md5(s))) as fp
         from sh
     """,
+    "epoch_shuffle": """
+        select doc_id,
+               row_number() over (
+                 order by md5('42:0:' || doc_id), doc_id) as position
+        from documents
+    """,
 }
 
 QUERIES = {
@@ -989,6 +1006,7 @@ QUERIES = {
     "batch_slices": q_batch_slices,
     "concat_aug": q_concat_aug,
     "union_merge": q_union_merge,
+    "epoch_shuffle": q_epoch_shuffle,
     "asof_last_click": q_asof_last_click,
     "tpch_q1_rollup": q_tpch_q1_rollup,
     "pivot_event_counts": q_pivot_event_counts,
