@@ -4,9 +4,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
 
-Every query is forced end-to-end with the noop sink (full compute, no
-collect-to-driver cost). The flagship `ocr_extract` includes distributed
-corpus derivation + PNG render + decode + recognition + stitch.
+Methodology (changed in round 2 — see BASELINE.md):
+  * The flagship `ocr_extract` is timed over a PRE-MATERIALIZED parquet
+    corpus (documents + media tables) — the north_rule input shape ("an
+    Iceberg table of interleaved text+media documents"). Corpus synthesis
+    is test scaffolding, not pipeline; its one-off cost is reported in
+    extra.corpus_prep_sec. Round 1 timed synthesis + extraction together
+    and rode a payload cache, which overstated steady-state throughput.
+  * spark.catalog.clearCache() runs before every timed attempt, so min-of-2
+    filters machine noise without letting any run ride another's cache.
+  * Every query is forced end-to-end with the noop sink (full compute,
+    no collect-to-driver cost).
 """
 
 from __future__ import annotations
@@ -47,6 +55,23 @@ def force(df) -> int:
     return 0
 
 
+def prep_corpus(spark, sf_dir: str) -> str:
+    """Materialize the derived interleaved corpus as parquet tables once
+    (distributed, in-executors); reused across bench runs of the same sf."""
+    from vietnamese_ocr_spark.sources.sf_adapter import derive_documents, derive_media
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/vos_bench_corpus/{tag}"
+    docs_p, media_p = f"{out}/documents.parquet", f"{out}/media.parquet"
+    marker = f"{out}/_READY"
+    if not os.path.exists(marker):
+        derive_documents(spark, sf_dir).write.mode("overwrite").parquet(docs_p)
+        derive_media(spark, sf_dir).write.mode("overwrite").parquet(media_p)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -57,23 +82,41 @@ def main() -> int:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    entrymod._ship_package(spark)
     qs = entrymod.queries()
 
     # session warmup (JVM/codegen), not counted
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    t0 = time.perf_counter()
+    corpus_dir = prep_corpus(spark, sf_dir)
+    prep_sec = round(time.perf_counter() - t0, 3)
+
+    def run_flagship():
+        from vietnamese_ocr_spark.plans.extract import extract_df
+
+        documents = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+        extracted, _ = extract_df(spark, documents, media)
+        force(extracted)
+
     # min of two runs per query: this VM shows multi-second noise spikes,
-    # and min-wall is the standard filter for them
+    # and min-wall is the standard filter for them; each attempt starts
+    # cache-cold so the min is a real end-to-end time
     timings: dict[str, float] = {}
     for name in HEADLINE:
         walls = []
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
-            force(qs[name](spark, sf_dir))
+            if name == "ocr_extract":
+                run_flagship()
+            else:
+                force(qs[name](spark, sf_dir))
             walls.append(time.perf_counter() - t0)
         timings[name] = round(min(walls), 3)
 
-    # flagship throughput: docs/sec through the full extraction pipeline
+    # flagship throughput: docs/sec through the extraction pipeline
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs_per_sec = round(n_docs / timings["ocr_extract"], 2)
     spark.stop()
@@ -88,7 +131,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "extra": {"ocr_docs_per_sec": docs_per_sec, "cpus": cpus},
+                "extra": {
+                    "ocr_docs_per_sec": docs_per_sec,
+                    "cpus": cpus,
+                    "corpus_prep_sec": prep_sec,
+                },
             }
         )
     )

@@ -16,11 +16,25 @@ never the engines' internal hash() (which differ).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def _words():
     return F.split(F.col("text"), " ")
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Re-spread a narrow input across the cluster before CPU-heavy
+    projections. A real 100-TB table arrives in thousands of splits and
+    this is a no-op; the guard only fires when the source has fewer
+    splits than the configured parallelism (e.g. a single test parquet
+    file, which would otherwise run the whole shingle transform on one
+    core — measured 9.6s single-core vs 0.4s spread at sf0.1)."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n:
+        return docs.repartition(n)
+    return docs
 
 
 def add_shingles(docs: DataFrame, n: int = 3, out: str = "shingles") -> DataFrame:
@@ -59,9 +73,10 @@ def minhash_signatures(docs: DataFrame, k: int = 4, shingle_n: int = 3) -> DataF
     """k MinHash values per doc: min over shingles of md5(perm_id:shingle).
 
     A pure projection — each row computes its signature independently, so
-    this scales linearly with no shuffle at all.
+    this scales linearly with no shuffle at all (the _spread guard only
+    fires on under-split test inputs).
     """
-    sh = add_shingles(docs, shingle_n)
+    sh = add_shingles(_spread(docs), shingle_n)
 
     def _hasher(j: int):
         # NB: a 2-arg lambda would make pyspark pass the array index as the
@@ -145,11 +160,20 @@ def jaccard_candidates(
     The threshold is applied to the UNROUNDED ratio (matching the SQL
     oracle); rounding to 6 digits happens only on the output column.
     """
+    # explode_outer + post-filter, NOT plain explode: the non-outer
+    # Generate synthesizes a size(shingles)>0 predicate that Catalyst
+    # pushes below the exchange, re-evaluating the whole shingle
+    # transform twice per row on the narrow pre-shuffle side (measured
+    # 2x full-query cost); the isnotnull filter on the generated column
+    # cannot sink below the Generate, so the transform runs once, spread.
     sh = (
-        add_shingles(docs, shingle_n)
-        .select("doc_id", F.explode("shingles").alias("s"))
+        add_shingles(_spread(docs), shingle_n)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist: four subtrees consume sh (sizes, hot-shingle df, both join
+    # sides); without it Spark re-runs the explode+distinct shuffle 4x.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         hot = (
