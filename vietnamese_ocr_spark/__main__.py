@@ -2,6 +2,7 @@
 
   python -m vietnamese_ocr_spark extract --documents D.parquet \
       --media M.parquet --out OUT_DIR [--no-resume] [--master local[32]]
+  python -m vietnamese_ocr_spark extract --images PNG_DIR --out OUT_DIR
   python -m vietnamese_ocr_spark synth --docs 1000 --out DIR [--seed 42]
 
 On a cluster: `spark-submit --py-files vietnamese_ocr_spark.zip
@@ -22,8 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ex = sub.add_parser("extract", help="run the extraction pipeline")
-    ex.add_argument("--documents", required=True)
-    ex.add_argument("--media", required=True)
+    ex.add_argument("--documents", help="documents parquet (interleaved spans)")
+    ex.add_argument("--media", help="media parquet (media_ref, png, size_b)")
+    ex.add_argument(
+        "--images",
+        help="raw directory of PNG files instead of --documents/--media — "
+        "the reference's primary input mode (one doc per image)",
+    )
     ex.add_argument("--out", required=True)
     ex.add_argument("--master", default=None)
     ex.add_argument("--no-resume", action="store_true")
@@ -97,19 +103,35 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"generated": paths}))
         return 0
 
+    if bool(args.images) == bool(args.documents and args.media):
+        p.error("pass either --images DIR or both --documents and --media")
+
     from .config import get_spark
-    from .plans.extract import run_extract
+    from .plans.extract import run_extract, run_extract_frames
 
     spark = get_spark("extract-cli", master=args.master)
     try:
-        result = run_extract(
-            spark,
-            args.documents,
-            args.media,
-            args.out,
-            resume=not args.no_resume,
-            n_partitions=args.partitions,
-        )
+        if args.images:
+            from .sources.image_folder import folder_documents, read_image_folder
+
+            media_df = read_image_folder(spark, args.images)
+            result = run_extract_frames(
+                spark,
+                folder_documents(media_df),
+                media_df,
+                args.out,
+                resume=not args.no_resume,
+                n_partitions=args.partitions,
+            )
+        else:
+            result = run_extract(
+                spark,
+                args.documents,
+                args.media,
+                args.out,
+                resume=not args.no_resume,
+                n_partitions=args.partitions,
+            )
         print(json.dumps(result))
     finally:
         spark.stop()

@@ -197,8 +197,31 @@ def run_extract(
     n_partitions: int | None = None,
     weights_bc=None,
 ) -> dict:
-    """Full job: read -> extract -> append extracted+lineage -> commit.
+    """Full job from parquet table paths; see :func:`run_extract_frames`."""
+    return run_extract_frames(
+        spark,
+        spark.read.parquet(documents_path),
+        spark.read.parquet(media_path),
+        out_root,
+        resume=resume,
+        n_partitions=n_partitions,
+        weights_bc=weights_bc,
+    )
 
+
+def run_extract_frames(
+    spark: SparkSession,
+    documents: DataFrame,
+    media: DataFrame,
+    out_root: str,
+    resume: bool = True,
+    n_partitions: int | None = None,
+    weights_bc=None,
+) -> dict:
+    """Full job: extract -> append extracted+lineage -> commit.
+
+    Takes DataFrames, so any source feeds it: parquet/Iceberg tables, a
+    binaryFile image directory (sources/image_folder.py), a stream batch.
     Resumable: a re-run after a partial failure anti-joins the already
     committed doc_ids and only processes the remainder; re-running a
     complete output is a no-op commit.
@@ -206,12 +229,10 @@ def run_extract(
     table = ExtractTable(out_root)
     run_id = table.new_run_id()
 
-    documents = spark.read.parquet(documents_path)
     if resume:
         done = table.committed_doc_ids(spark)
         if done is not None:
             documents = documents.join(done, "doc_id", "left_anti")
-    media = spark.read.parquet(media_path)
 
     extracted, rec = extract_df(spark, documents, media, weights_bc, n_partitions)
     rec = rec.cache()  # reused by lineage; avoids re-running OCR
