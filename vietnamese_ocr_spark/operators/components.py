@@ -1,0 +1,74 @@
+"""Connected components over near-duplicate candidate pairs.
+
+The step after pair generation in every production dedup pipeline:
+candidate pairs (from MinHash bands / Jaccard / embedding cosine) form a
+graph; each connected component is one duplicate cluster, and the
+canonical document is the component's minimum doc_id. Keeping one doc per
+component is what actually shrinks a 100-TB corpus.
+
+Algorithm: iterative min-label propagation (the DataFrame form of
+large-star/small-star a la Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): every node repeatedly adopts the minimum
+label among itself and its neighbors until a fixpoint. Iterations =
+cluster diameter, which for near-dup clusters is tiny (dup clusters are
+dense); each iteration is one join + one partial-aggregated groupBy, both
+shuffling only (node, label) string pairs — never document content.
+localCheckpoint() truncates the growing lineage each round so the plan
+stays O(1) deep, and the convergence test is a cheap count aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "da", b: str = "db", max_iter: int = 25
+) -> DataFrame:
+    """pairs(a, b) -> (doc_id, component) for every doc in any pair;
+    component = min doc_id reachable through the pair graph."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # each node's candidates: its own label + its neighbors' labels
+        nbr_labels = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def canonical_docs(pairs: DataFrame, docs: DataFrame, key: str = "doc_id",
+                   a: str = "da", b: str = "db") -> DataFrame:
+    """Dedup by cluster: keep one canonical row per duplicate component
+    (the min doc_id) plus every doc that appears in no pair. This is the
+    materialized 'shrunk corpus' a near-dup pass produces."""
+    comp = connected_components(pairs, a, b)
+    losers = comp.filter(F.col(key) != F.col("component")).select(key)
+    return docs.join(losers, key, "left_anti")

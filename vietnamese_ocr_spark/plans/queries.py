@@ -443,6 +443,16 @@ def q_dedup_jaccard(spark, sf):
     )
 
 
+def q_dedup_components(spark, sf):
+    """Near-dup clustering: Jaccard candidate pairs -> connected
+    components (operators/components.py) -> (doc_id, component) with
+    component = min reachable doc_id. Oracle = recursive CTE in DuckDB."""
+    from ..operators.components import connected_components
+
+    pairs = dedup.jaccard_candidates(t(spark, sf, "documents"), threshold=0.2)
+    return connected_components(pairs)
+
+
 def q_similarity_topk(spark, sf):
     return similarity.cosine_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
@@ -971,6 +981,37 @@ ORACLE_SQL: dict[str, str] = {
                  order by md5('42:0:' || doc_id), doc_id) as position
         from documents
     """,
+    "dedup_components": """
+        with recursive sh0 as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        sh as (select distinct doc_id, unnest(shingles) as s from sh0),
+        sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+        inter as (
+          select a.doc_id as da, b.doc_id as db, count(*) as i
+          from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+          group by 1, 2),
+        pairs as (
+          select da, db from inter
+          join sizes sa on sa.doc_id = da
+          join sizes sb on sb.doc_id = db
+          where i / (sa.sz + sb.sz - i) >= 0.2),
+        e as (select da as a, db as b from pairs
+              union select db, da from pairs),
+        nodes as (select distinct a as n from e),
+        walk(n, m) as (
+          select n, n from nodes
+          union
+          select w.n, e.b from walk w join e on w.m = e.a)
+        select n as doc_id, min(m)::bigint as component
+        from walk group by n
+    """,
 }
 
 QUERIES = {
@@ -1000,6 +1041,7 @@ QUERIES = {
     "dedup_minhash_bands": q_dedup_minhash_bands,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
