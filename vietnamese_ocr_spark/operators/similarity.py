@@ -111,6 +111,77 @@ def cosine_topk_against(candidates: DataFrame, embeddings: DataFrame,
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def _explode_dims(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+
+
+def _assign(dims: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by squared L2. Per-vector ||v||^2 is
+    constant across centroids, so argmin(||v-c||^2) == argmin(||c||^2 -
+    2<v,c>) and the big per-vector norm never needs computing. The
+    centroid table is tiny (k x d rows) -> broadcast; the only shuffle is
+    the partial-aggregated groupBy(vec_id, cid)."""
+    c2 = cent.groupBy("cid").agg(F.sum(F.col("cv") * F.col("cv")).alias("c2"))
+    dots = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("dot"))
+    )
+    keyed = dots.join(F.broadcast(c2), "cid").select(
+        "vec_id", "cid", F.round(F.col("c2") - 2 * F.col("dot"), 9).alias("dist_key")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_key"), F.asc("cid"))
+    return (
+        keyed.select("vec_id", "cid", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+
+
+def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means codebook -> (cid, pos, cv) exploded.
+
+    Deterministic init (the first k vec_ids), fixed iteration count so the
+    DuckDB oracle can unroll the same rounds as CTEs. Each round is one
+    broadcast join against the k x d centroid table plus two map-side-
+    combined groupBys; nothing driver-side, no collect. Centroid
+    coordinates round to 6 dp per round so both engines quantize float
+    noise identically. localCheckpoint truncates the per-round lineage.
+    At 10^12 scale you'd train on a sample table; the plan is unchanged."""
+    dims = _explode_dims(embeddings)
+    cent = dims.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assign = _assign(dims, cent)
+        cent = (
+            dims.join(assign, "vec_id")
+            .groupBy(F.col("cluster").alias("cid"), F.col("pos"))
+            .agg(F.round(F.avg("v"), 6).alias("cv"))
+            .localCheckpoint()
+        )
+    return cent
+
+
+def ivf_topk_kmeans(embeddings: DataFrame, query_vec_id: int, k: int = 10,
+                    n_centroids: int = 8, iters: int = 2) -> DataFrame:
+    """IVF ANN with a trained k-means codebook (upgrades ivf_topk's
+    first-n stand-in): train centroids, assign every vector to its cell,
+    brute-force cosine only inside the query's cell."""
+    cent = kmeans_codebook(embeddings, k=n_centroids, iters=iters)
+    assign = _assign(_explode_dims(embeddings), cent)
+    query_cluster = assign.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("cluster").alias("qcluster")
+    )
+    candidates = assign.join(
+        F.broadcast(query_cluster), F.col("cluster") == F.col("qcluster")
+    ).select("vec_id")
+    cell = embeddings.join(candidates, "vec_id")
+    return cosine_topk_against(cell, embeddings, query_vec_id, k)
+
+
 def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Sign-projection LSH: bucket = sign bits of the first n dims.
 

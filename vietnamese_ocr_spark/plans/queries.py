@@ -465,6 +465,55 @@ def q_similarity_ivf_topk(spark, sf):
     return similarity.ivf_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_similarity_kmeans_codebook(spark, sf):
+    """Distributed Lloyd's k-means codebook (2 unrolled rounds, k=8);
+    oracle unrolls the same rounds as CTEs."""
+    return similarity.kmeans_codebook(t(spark, sf, "embeddings"), k=8, iters=2)
+
+
+def q_similarity_ivf_kmeans(spark, sf):
+    """IVF top-k with the trained k-means codebook (vs ivf_topk's
+    deterministic first-8 stand-in)."""
+    return similarity.ivf_topk_kmeans(
+        t(spark, sf, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd's-iteration CTE chain shared by the k-means oracle
+    queries. Mirrors operators/similarity.py:kmeans_codebook exactly:
+    argmin by round(c2 - 2*dot, 9) with cid tiebreak, centroids rounded
+    to 6 dp per round, init = first k vec_ids."""
+    parts = [
+        """dims as (
+          select vec_id, generate_subscripts(embedding, 1) - 1 as pos,
+                 unnest(embedding)::double as v
+          from embeddings),
+        cent0 as (select vec_id as cid, pos, v as cv from dims where vec_id < %d)"""
+        % k
+    ]
+    for i in range(iters):
+        parts.append(f"""c2_{i} as (
+          select cid, sum(cv * cv) as c2 from cent{i} group by cid),
+        dots_{i} as (
+          select d.vec_id, c.cid, sum(d.v * c.cv) as dot
+          from dims d join cent{i} c on d.pos = c.pos
+          group by 1, 2),
+        assign_{i} as (
+          select vec_id, cid as cluster
+          from (select t.vec_id, t.cid,
+                       row_number() over (
+                         partition by t.vec_id
+                         order by round(x.c2 - 2 * t.dot, 9), t.cid) as rn
+                from dots_{i} t join c2_{i} x using (cid))
+          where rn = 1),
+        cent{i + 1} as (
+          select a.cluster as cid, d.pos, round(avg(d.v), 6) as cv
+          from dims d join assign_{i} a using (vec_id)
+          group by 1, 2)""")
+    return ",\n        ".join(parts)
+
+
 def q_batch_slices(spark, sf):  # B1: fixed-size batch slicing, last partial kept
     w = Window.partitionBy("user_id").orderBy("event_id")
     e = t(spark, sf, "events").select(
@@ -857,6 +906,36 @@ ORACLE_SQL: dict[str, str] = {
         order by cosine desc, vec_id
         limit 10
     """,
+    "similarity_kmeans_codebook": f"""
+        with {_kmeans_cte(8, 2)}
+        select cid, pos, cv from cent2
+    """,
+    "similarity_ivf_kmeans": f"""
+        with {_kmeans_cte(8, 2)},
+        c2_f as (select cid, sum(cv * cv) as c2 from cent2 group by cid),
+        dots_f as (
+          select d.vec_id, c.cid, sum(d.v * c.cv) as dot
+          from dims d join cent2 c on d.pos = c.pos
+          group by 1, 2),
+        assign_f as (
+          select vec_id, cid as cluster
+          from (select t.vec_id, t.cid,
+                       row_number() over (
+                         partition by t.vec_id
+                         order by round(x.c2 - 2 * t.dot, 9), t.cid) as rn
+                from dots_f t join c2_f x using (cid))
+          where rn = 1),
+        qc as (select cluster as qcluster from assign_f where vec_id = 0),
+        cand as (select a.vec_id from assign_f a, qc where a.cluster = qc.qcluster),
+        q as (select pos, v as qv from dims where vec_id = 0),
+        scored as (
+          select d.vec_id, sum(d.v * q.qv) as dot,
+                 sqrt(sum(d.v * d.v)) as nv, sqrt(sum(q.qv * q.qv)) as nq
+          from dims d join cand using (vec_id) join q on d.pos = q.pos
+          group by d.vec_id)
+        select vec_id, round(dot / (nv * nq), 6) as cosine
+        from scored order by cosine desc, vec_id limit 10
+    """,
     "similarity_ivf_topk": """
         with dims as (
           select vec_id, generate_subscripts(embedding, 1) as pos,
@@ -1045,6 +1124,8 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_kmeans_codebook": q_similarity_kmeans_codebook,
+    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "batch_slices": q_batch_slices,
     "concat_aug": q_concat_aug,
     "union_merge": q_union_merge,
