@@ -43,9 +43,12 @@ HEADLINE = [
     "dedup_jaccard",
     "similarity_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_kmeans",
+    "similarity_knn_join",
     "lang_id",
     "quality_score",
     "pivot_event_counts",
+    "windowed_event_counts",
     "multimodal_image_stats",
 ]
 

@@ -9,6 +9,7 @@ from vietnamese_ocr_spark.operators.similarity import (
     cosine_topk,
     ivf_topk_kmeans,
     kmeans_codebook,
+    knn_join,
 )
 
 
@@ -45,6 +46,19 @@ def test_ivf_kmeans_topk_finds_same_cluster(spark):
     # IVF searched only the query's cell: every hit is an even vec_id
     # (the (10,0)-cluster); the orthogonal cluster never appears
     assert all(r["vec_id"] % 2 == 0 for r in got)
+
+
+def test_knn_join_matches_per_query_topk(spark):
+    """The batch k-NN join returns, per query, exactly what the
+    single-query operator returns."""
+    emb = _embeddings(spark)
+    got = knn_join(emb, [0, 1], k=4).collect()
+    by_qid = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+        by_qid.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for qid in (0, 1):
+        single = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, qid, k=4).collect()]
+        assert by_qid[qid] == single
 
 
 def test_ivf_kmeans_matches_exact_topk_within_cell(spark):

@@ -182,6 +182,42 @@ def ivf_topk_kmeans(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     return cosine_topk_against(cell, embeddings, query_vec_id, k)
 
 
+def knn_join(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Batch k-NN join: exact cosine top-k against the corpus for EVERY
+    query in a small id set at once -> (qid, vec_id, cosine, rank).
+
+    One corpus pass regardless of |Q|: the Q x d query-dim table
+    broadcasts, the per-(qid, vec) partials map-side combine, and the
+    final per-qid rank is a window over k x |Q| rows. The single-query
+    cosine_topk is the |Q|=1 special case; this is the shape an
+    eval-retrieval job (thousands of queries vs a 100-TB corpus) needs,
+    where running cosine_topk per query would rescan the corpus |Q| times.
+    """
+    dims = _explode_dims(embeddings)
+    qdims = dims.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    scored = (
+        dims.join(F.broadcast(qdims), "pos")
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nv"),
+            F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("nq"),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(F.col("dot") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.select("qid", "vec_id", "cosine", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Sign-projection LSH: bucket = sign bits of the first n dims.
 

@@ -465,6 +465,11 @@ def q_similarity_ivf_topk(spark, sf):
     return similarity.ivf_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_similarity_knn_join(spark, sf):
+    """Batch k-NN: top-5 per query for queries {0,1,2} in one corpus pass."""
+    return similarity.knn_join(t(spark, sf, "embeddings"), [0, 1, 2], k=5)
+
+
 def q_similarity_kmeans_codebook(spark, sf):
     """Distributed Lloyd's k-means codebook (2 unrolled rounds, k=8);
     oracle unrolls the same rounds as CTEs."""
@@ -529,6 +534,25 @@ def q_batch_slices(spark, sf):  # B1: fixed-size batch slicing, last partial kep
         F.count("*").alias("batch_rows"),
         F.max("len").cast("long").alias("max_len"),
         F.sum(F.col("batch_max") - F.col("len")).cast("long").alias("pad_cells"),
+    )
+
+
+def q_windowed_event_counts(spark, sf):
+    """Event-time tumbling-window counts via the streaming operator
+    (streaming/windowed_metrics.py) run in batch mode, where the
+    watermark is a no-op — same plan shape, DuckDB time_bucket oracle.
+    Window bounds emit as formatted strings so both engines compare
+    timezone-free."""
+    from ..streaming.windowed_metrics import windowed_kind_counts
+
+    e = t(spark, sf, "events").select(
+        F.col("event_type").alias("kind"),
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    return windowed_kind_counts(e, window_len="1 hour").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "kind",
+        F.col("n_spans").alias("n_events"),
     )
 
 
@@ -906,6 +930,27 @@ ORACLE_SQL: dict[str, str] = {
         order by cosine desc, vec_id
         limit 10
     """,
+    "similarity_knn_join": """
+        with dims as (
+          select vec_id, generate_subscripts(embedding, 1) as pos,
+                 unnest(embedding)::double as v
+          from embeddings),
+        q as (select vec_id as qid, pos, v as qv from dims
+              where vec_id in (0, 1, 2)),
+        scored as (
+          select q.qid, d.vec_id,
+                 round(sum(d.v * q.qv)
+                       / (sqrt(sum(d.v * d.v)) * sqrt(sum(q.qv * q.qv))),
+                       6) as cosine
+          from dims d join q on d.pos = q.pos
+          group by 1, 2)
+        select qid, vec_id, cosine, rank from (
+          select qid, vec_id, cosine,
+                 row_number() over (partition by qid
+                                    order by cosine desc, vec_id) as rank
+          from scored)
+        where rank <= 5
+    """,
     "similarity_kmeans_codebook": f"""
         with {_kmeans_cte(8, 2)}
         select cid, pos, cv from cent2
@@ -963,6 +1008,14 @@ ORACLE_SQL: dict[str, str] = {
           group by d.vec_id)
         select vec_id, round(dot / (nv * nq), 6) as cosine
         from scored order by cosine desc, vec_id limit 10
+    """,
+    "windowed_event_counts": """
+        select strftime(time_bucket(interval '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') as window_start,
+               event_type as kind,
+               count(*)::bigint as n_events
+        from events
+        group by 1, 2
     """,
     "union_merge": """
         select event_type, count(*)::bigint as n, sum(event_id)::bigint as id_sum
@@ -1115,6 +1168,7 @@ QUERIES = {
     "tpch_q5": q_tpch_q5,
     "window_running_sum": q_window_running_sum,
     "sessionize": q_sessionize,
+    "windowed_event_counts": q_windowed_event_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1124,6 +1178,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_knn_join": q_similarity_knn_join,
     "similarity_kmeans_codebook": q_similarity_kmeans_codebook,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "batch_slices": q_batch_slices,
