@@ -91,9 +91,21 @@ def main() -> int:
     # session warmup (JVM/codegen), not counted
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # warm the Python workers (pandas/numpy import + weight hydration is a
+    # per-worker one-off that amortizes to zero on a long-running cluster;
+    # same rationale and size as bench_scaling.py)
+    def warm_workers():
+        from vietnamese_ocr_spark.plans.extract import extract_df
+
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").limit(512)
+        media = spark.read.parquet(f"{corpus_dir}/media.parquet")
+        warm, _ = extract_df(spark, docs, media)
+        force(warm)
+
     t0 = time.perf_counter()
     corpus_dir = prep_corpus(spark, sf_dir)
     prep_sec = round(time.perf_counter() - t0, 3)
+    warm_workers()
 
     def run_flagship():
         from vietnamese_ocr_spark.plans.extract import extract_df
