@@ -64,21 +64,26 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "cv"),
         )
     )
-    dots = (
-        dims.join(F.broadcast(cdims), "pos")
-        .groupBy("vec_id", "cid")
-        .agg(F.round(F.sum(F.col("v") * F.col("cv")), 9).alias("dot"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
-    assign = (
-        dots.select("vec_id", "cid", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"))
-    )
-    query_cluster = assign.filter(F.col("vec_id") == query_vec_id).select(
+    def assign_dot(d: DataFrame) -> DataFrame:
+        dots = (
+            d.join(F.broadcast(cdims), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.round(F.sum(F.col("v") * F.col("cv")), 9).alias("dot"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+        return (
+            dots.select("vec_id", "cid", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"))
+        )
+
+    # the query's cell needs ONE vector's assignment — filter BEFORE the
+    # argmin so the full-corpus assignment subtree runs once, not twice
+    # (reusing one `assign` frame for both branches recomputes it)
+    query_cluster = assign_dot(dims.filter(F.col("vec_id") == query_vec_id)).select(
         F.col("cluster").alias("qcluster")
     )
-    candidates = assign.join(
+    candidates = assign_dot(dims).join(
         F.broadcast(query_cluster), F.col("cluster") == F.col("qcluster")
     ).select("vec_id")
     cell = embeddings.join(candidates, "vec_id")
@@ -171,11 +176,12 @@ def ivf_topk_kmeans(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     first-n stand-in): train centroids, assign every vector to its cell,
     brute-force cosine only inside the query's cell."""
     cent = kmeans_codebook(embeddings, k=n_centroids, iters=iters)
-    assign = _assign(_explode_dims(embeddings), cent)
-    query_cluster = assign.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("cluster").alias("qcluster")
-    )
-    candidates = assign.join(
+    # query's cell from one vector's assignment (filter pushes to the
+    # scan); the corpus-wide assignment subtree then runs exactly once
+    query_cluster = _assign(
+        _explode_dims(embeddings.filter(F.col("vec_id") == query_vec_id)), cent
+    ).select(F.col("cluster").alias("qcluster"))
+    candidates = _assign(_explode_dims(embeddings), cent).join(
         F.broadcast(query_cluster), F.col("cluster") == F.col("qcluster")
     ).select("vec_id")
     cell = embeddings.join(candidates, "vec_id")

@@ -297,6 +297,30 @@ def q_asof_last_click(spark, sf):
     )
 
 
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape — correlated aggregate subquery (lineitems below
+    20% of their part's average quantity), decorrelated the way Catalyst
+    and every OLAP engine execute it: per-part avg as a map-side-combined
+    groupBy, broadcast back onto the filtered-part lineitems. Revenue is
+    summed as decimal so both engines agree bit-for-bit."""
+    li = t(spark, sf, "lineitem")
+    part = t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_p.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li_p.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "ak")),
+                  F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(
+                _dsum(F.col("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
 def q_tpch_q1_rollup(spark, sf):  # grouping-set coverage: rollup over Q1 keys
     li = t(spark, sf, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -453,6 +477,17 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_dedup_canonical(spark, sf):
+    """Materialized shrunk corpus: one canonical doc per duplicate
+    cluster (min doc_id) plus all unpaired docs — what a near-dup pass
+    actually writes back out at 100 TB."""
+    from ..operators.components import canonical_docs
+
+    docs = t(spark, sf, "documents")
+    pairs = dedup.jaccard_candidates(docs, threshold=0.2)
+    return canonical_docs(pairs, docs.select("doc_id", "n_chars"))
+
+
 def q_similarity_topk(spark, sf):
     return similarity.cosine_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
@@ -517,6 +552,39 @@ def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
           from dims d join assign_{i} a using (vec_id)
           group by 1, 2)""")
     return ",\n        ".join(parts)
+
+
+# Shared DuckDB mirror of the near-dup clustering pipeline: 3-gram shingle
+# Jaccard candidate pairs (operators/dedup.py:jaccard_candidates) -> edge
+# list -> recursive min-label walk (operators/components.py). The `walk`
+# CTE's group-by-min is the component id.
+_COMPONENTS_CTE = """sh0 as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        sh as (select distinct doc_id, unnest(shingles) as s from sh0),
+        sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+        inter as (
+          select a.doc_id as da, b.doc_id as db, count(*) as i
+          from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+          group by 1, 2),
+        pairs as (
+          select da, db from inter
+          join sizes sa on sa.doc_id = da
+          join sizes sb on sb.doc_id = db
+          where i / (sa.sz + sb.sz - i) >= 0.2),
+        e as (select da as a, db as b from pairs
+              union select db, da from pairs),
+        nodes as (select distinct a as n from e),
+        walk(n, m) as (
+          select n, n from nodes
+          union
+          select w.n, e.b from walk w join e on w.m = e.a)"""
 
 
 def q_batch_slices(spark, sf):  # B1: fixed-size batch slicing, last partial kept
@@ -728,6 +796,19 @@ ORACLE_SQL: dict[str, str] = {
         group by l_orderkey, o_orderpriority
         order by revenue desc, l_orderkey
         limit 10
+    """,
+    "tpch_q17": """
+        with li_p as (
+          select l.l_partkey, l.l_quantity, l.l_extendedprice
+          from lineitem l join part p on l.l_partkey = p.p_partkey
+          where p.p_brand = 'Brand#1'),
+        caps as (
+          select l_partkey, 0.2 * avg(l_quantity) as qty_cap
+          from li_p group by l_partkey)
+        select round(sum(cast(l.l_extendedprice as decimal(18,2)))::double / 7.0, 6)
+               as avg_yearly
+        from li_p l join caps c on l.l_partkey = c.l_partkey
+        where l.l_quantity < c.qty_cap
     """,
     "tpch_q5": """
         select n_name,
@@ -1113,36 +1194,16 @@ ORACLE_SQL: dict[str, str] = {
                  order by md5('42:0:' || doc_id), doc_id) as position
         from documents
     """,
-    "dedup_components": """
-        with recursive sh0 as (
-          select doc_id,
-                 case when len(string_split(text, ' ')) >= 3
-                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
-                           i -> string_split(text, ' ')[i] || ' ' ||
-                                string_split(text, ' ')[i+1] || ' ' ||
-                                string_split(text, ' ')[i+2])
-                      else [] end as shingles
-          from documents),
-        sh as (select distinct doc_id, unnest(shingles) as s from sh0),
-        sizes as (select doc_id, count(*) as sz from sh group by doc_id),
-        inter as (
-          select a.doc_id as da, b.doc_id as db, count(*) as i
-          from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
-          group by 1, 2),
-        pairs as (
-          select da, db from inter
-          join sizes sa on sa.doc_id = da
-          join sizes sb on sb.doc_id = db
-          where i / (sa.sz + sb.sz - i) >= 0.2),
-        e as (select da as a, db as b from pairs
-              union select db, da from pairs),
-        nodes as (select distinct a as n from e),
-        walk(n, m) as (
-          select n, n from nodes
-          union
-          select w.n, e.b from walk w join e on w.m = e.a)
+    "dedup_components": f"""
+        with recursive {_COMPONENTS_CTE}
         select n as doc_id, min(m)::bigint as component
         from walk group by n
+    """,
+    "dedup_canonical": f"""
+        with recursive {_COMPONENTS_CTE},
+        losers as (select n from walk group by n having n != min(m))
+        select doc_id, n_chars from documents
+        where doc_id not in (select n from losers)
     """,
 }
 
@@ -1175,6 +1236,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
+    "dedup_canonical": q_dedup_canonical,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -1187,6 +1249,7 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "asof_last_click": q_asof_last_click,
     "tpch_q1_rollup": q_tpch_q1_rollup,
+    "tpch_q17": q_tpch_q17,
     "pivot_event_counts": q_pivot_event_counts,
     "median_value": q_median_value,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
