@@ -86,6 +86,57 @@ def test_windowed_counts_emit_once_and_drop_late(spark, tmp_path):
     }
 
 
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    from vietnamese_ocr_spark.streaming.windowed_metrics import session_event_counts
+
+    stream_dir = str(tmp_path / "in")
+    os.makedirs(stream_dir)
+
+    def wb(name, rows):
+        ts = [datetime.datetime.fromisoformat(t) for _, t in rows]
+        tbl = pa.table(
+            {"user_id": [u for u, _ in rows], "event_time": pa.array(ts, pa.timestamp("us"))}
+        )
+        pq.write_table(tbl, os.path.join(stream_dir, name + ".parquet"))
+
+    # two events 10 min apart -> ONE session (gap 30m) ending 00:10+30m
+    wb("b0", [(1, "2026-01-01 00:00:00"), (1, "2026-01-01 00:10:00")])
+    stream = (
+        spark.readStream.schema("user_id bigint, event_time timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        session_event_counts(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("sessions").count() == 0  # session still open
+        # 02:00 -> watermark 01:50 > 00:40 closes session 1; opens session 2
+        wb("b1", [(1, "2026-01-01 02:00:00")])
+        q.processAllAvailable()
+        # 03:00 -> watermark 02:50 > 02:30 closes session 2
+        wb("b2", [(1, "2026-01-01 03:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.table("sessions").collect()
+    }
+    assert got == {
+        ("2026-01-01 00:00:00", "2026-01-01 00:40:00"): 2,  # merged pair
+        ("2026-01-01 02:00:00", "2026-01-01 02:30:00"): 1,
+        # session from 03:00 still open -> withheld
+    }
+
+
 def test_windowed_counts_batch_plan_shape(spark):
     """The same operator runs on a batch frame (watermark is a no-op) —
     value check of the window/count logic itself."""

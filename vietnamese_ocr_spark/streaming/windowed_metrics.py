@@ -20,6 +20,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_event_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Streaming sessionization: `session_window` merges events within
+    `gap` of each other into one growing session per key; a session
+    finalizes (emits once, state dropped) when the watermark passes its
+    end (= last event + gap). The streaming-native form of the batch
+    `sessionize` query (plans/queries.py) — same gap semantics, but
+    incremental with bounded state instead of a full-history window scan.
+    """
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
 def windowed_kind_counts(
     stream: DataFrame,
     window_len: str = "10 minutes",
