@@ -36,6 +36,26 @@ def test_bucketed_join_is_shuffle_free_and_correct(spark, tmp_path):
         spark.sql("drop table if exists b_right")
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from vietnamese_ocr_spark.sources.bucketed import write_partitioned
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "vi").when(F.col("id") % 3 == 1, "en")
+        .otherwise("fr").alias("lang"),
+    )
+    path = str(tmp_path / "by_lang")
+    write_partitioned(df, path, "lang")
+    filtered = spark.read.parquet(path).filter(F.col("lang") == "vi")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    # the lang predicate lands in PartitionFilters (directory pruning),
+    # not in the data filter — the other two partitions are never read
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert filtered.count() == 100
+
+
 def test_unbucketed_same_join_shuffles(spark):
     """Control: the identical join without bucketing plans an Exchange —
     i.e. the bucketing is what removed it."""

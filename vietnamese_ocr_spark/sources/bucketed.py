@@ -38,6 +38,15 @@ def write_bucketed(
     )
 
 
+def write_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partitioned layout (`path/key=value/...`): reads that
+    filter on a partition key scan only matching directories (partition
+    pruning — PartitionFilters in the plan, zero IO for the rest). Use
+    for low-cardinality routing columns (lang, source, date); use
+    bucketing (above) for high-cardinality join keys."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)
+
+
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Catalog read — bucketing metadata only survives via the catalog;
     spark.read.parquet(path) on the same files would NOT know the layout
