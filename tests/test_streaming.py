@@ -37,3 +37,46 @@ def test_stream_extract_matches_oracle(spark, corpus, golden, tmp_path):
     # lineage was committed per epoch
     lin = spark.read.parquet(out + "/lineage")
     assert lin.count() >= 1
+
+
+def test_stream_extract_restart_resumes_without_duplicates(
+    spark, corpus, golden, tmp_path
+):
+    """Crash/restart: stop the query mid-corpus, restart on the SAME
+    checkpoint dir, append the rest — the checkpoint replays nothing
+    already processed and the committed-doc anti-join dedupes any
+    overlap, so every doc_id appears exactly once and spans stay exact."""
+    stream_dir = str(tmp_path / "stream_in")
+    os.makedirs(stream_dir)
+    src = corpus["documents"]
+    parts = sorted(glob.glob(src + "/*.parquet")) if os.path.isdir(src) else [src]
+    half = max(1, len(parts) // 2)
+    for i, p in enumerate(parts[:half]):
+        shutil.copy(p, os.path.join(stream_dir, f"batch-{i:04d}.parquet"))
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(spark, stream_dir, corpus["media"], out,
+                       checkpoint_dir=ckpt, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # "crash"
+
+    for i, p in enumerate(parts[half:], start=half):
+        shutil.copy(p, os.path.join(stream_dir, f"batch-{i:04d}.parquet"))
+    q2 = stream_extract(spark, stream_dir, corpus["media"], out,
+                        checkpoint_dir=ckpt, max_files_per_trigger=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out + "/extracted").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate doc_ids after restart"
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+    assert got == golden
