@@ -6,15 +6,17 @@ graph; each connected component is one duplicate cluster, and the
 canonical document is the component's minimum doc_id. Keeping one doc per
 component is what actually shrinks a 100-TB corpus.
 
-Algorithm: iterative min-label propagation (the DataFrame form of
-large-star/small-star a la Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14): every node repeatedly adopts the minimum
-label among itself and its neighbors until a fixpoint. Iterations =
-cluster diameter, which for near-dup clusters is tiny (dup clusters are
-dense); each iteration is one join + one partial-aggregated groupBy, both
-shuffling only (node, label) string pairs — never document content.
-localCheckpoint() truncates the growing lineage each round so the plan
-stays O(1) deep, and the convergence test is a cheap count aggregate.
+Algorithm: min-label propagation with pointer jumping (the DataFrame
+form of large-star/small-star a la Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14): each round every node adopts the
+minimum label among itself and its neighbors, then additionally adopts
+its label's OWN label (path halving), so chains collapse in O(log
+diameter) rounds instead of O(diameter) — the difference between 40 and
+10^12 rounds is irrelevant here, but between 40 and 12 shuffle rounds on
+a 100-TB graph it is everything. Each round shuffles only (node, label)
+pairs — never document content; localCheckpoint() truncates the growing
+lineage so the plan stays O(1) deep, and the convergence test reads the
+just-checkpointed frame (no recomputation).
 """
 
 from __future__ import annotations
@@ -46,19 +48,31 @@ def connected_components(
         nbr_labels = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        new_labels = (
+        mins = (
             labels.unionByName(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: also adopt the label's own label, l(l(v)) —
+        # labels double their reach each round, collapsing long chains
+        jumped = mins.join(
+            mins.select(F.col("node").alias("label"), F.col("label").alias("ll")),
+            "label",
+            "left",
+        ).select(
+            "node",
+            F.least("label", F.coalesce("ll", "label")).alias("label"),
+        )
+        # carry the previous label through the checkpoint so convergence
+        # reads the materialized frame instead of recomputing the round
+        new_labels = (
+            jumped.join(labels.withColumnRenamed("label", "old"), "node")
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
