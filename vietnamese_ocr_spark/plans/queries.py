@@ -477,6 +477,20 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_main_content(spark, sf):
+    """Densitometric main-content extraction (functions/text.py) over the
+    documents table. The sf corpus text is markup-free, so the oracle
+    reduces to the block-length gate — the full HTML/link-density path is
+    value-checked Spark-vs-Python-mirror in tests/test_main_content.py
+    on pages with real boilerplate."""
+    from ..functions.text import extract_main_content
+
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        extract_main_content(F.col("text"), min_block_len=100).alias("main"),
+    )
+
+
 def q_dedup_canonical(spark, sf):
     """Materialized shrunk corpus: one canonical doc per duplicate
     cluster (min doc_id) plus all unpaired docs — what a near-dup pass
@@ -1199,6 +1213,11 @@ ORACLE_SQL: dict[str, str] = {
         select n as doc_id, min(m)::bigint as component
         from walk group by n
     """,
+    "main_content": """
+        select doc_id,
+               case when length(text) >= 100 then text else '' end as main
+        from documents
+    """,
     "dedup_canonical": f"""
         with recursive {_COMPONENTS_CTE},
         losers as (select n from walk group by n having n != min(m))
@@ -1237,6 +1256,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
+    "main_content": q_main_content,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
