@@ -71,6 +71,31 @@ def test_label_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_similarity_joins_broadcast_small_sides(spark):
+    """knn_join and the k-means assignment must broadcast the tiny side
+    (query dims / centroid dims) — a corpus-side shuffle join here would
+    move the full exploded embedding table per round at 10^12 scale."""
+    from vietnamese_ocr_spark.operators.similarity import (
+        _assign,
+        _explode_dims,
+        knn_join,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    dims = _explode_dims(emb)
+    cent = dims.filter(dims.vec_id < 2).selectExpr("vec_id as cid", "pos", "v as cv")
+    # (kmeans_codebook itself returns a localCheckpointed frame whose plan
+    # is already executed — assert on the per-round assignment join shape)
+    for df in (knn_join(emb, [0, 1], k=3), _assign(dims, cent)):
+        plan = _formatted_plan(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_on_relational_skeleton(spark):
     """The text-analysis path is pure Column expressions — it must compile
     into WholeStageCodegen spans, no Python in the hot path."""
