@@ -477,6 +477,27 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_sample_hash(spark, sf):
+    """Deterministic 25% corpus sample (operators/sampling.py) — same
+    rows at any cluster size / partitioning, unlike rand(seed)."""
+    from ..operators.sampling import hash_sample
+
+    return hash_sample(
+        t(spark, sf, "documents").select("doc_id", "lang"), "doc_id", 0.25
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Per-language downsampling: keep 10% of dominant 'en', all 'zh',
+    half of everything else — the rebalancing shape of corpus curation."""
+    from ..operators.sampling import stratified_hash_sample
+
+    fracs = {"en": 0.1, "zh": 1.0, "fr": 0.5, "de": 0.5, "es": 0.5}
+    return stratified_hash_sample(
+        t(spark, sf, "documents").select("doc_id", "lang"), "doc_id", "lang", fracs
+    )
+
+
 def q_main_content(spark, sf):
     """Densitometric main-content extraction (functions/text.py) over the
     documents table. The sf corpus text is markup-free, so the oracle
@@ -1213,6 +1234,20 @@ ORACLE_SQL: dict[str, str] = {
         select n as doc_id, min(m)::bigint as component
         from walk group by n
     """,
+    "sample_hash": """
+        select doc_id, lang from documents
+        where substr(md5('42:' || doc_id), 1, 8) < '40000000'
+    """,
+    "sample_stratified": """
+        select doc_id, lang from documents
+        where substr(md5('42:' || doc_id), 1, 8) <
+              case lang when 'en' then '19999999'
+                        when 'zh' then 'g0000000'
+                        when 'fr' then '80000000'
+                        when 'de' then '80000000'
+                        when 'es' then '80000000'
+                        else '00000000' end
+    """,
     "main_content": """
         select doc_id,
                case when length(text) >= 100 then text else '' end as main
@@ -1257,6 +1292,8 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "main_content": q_main_content,
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
