@@ -49,3 +49,22 @@ def test_stratified_fractions_apply_per_stratum(spark):
 def test_stratified_unlisted_stratum_dropped(spark):
     out = stratified_hash_sample(_docs(spark), "doc_id", "lang", {"en": 1.0})
     assert out.filter(F.col("lang") != "en").count() == 0
+
+
+def test_repetition_stats_flags_looping_doc(spark):
+    from vietnamese_ocr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "hi"),  # < 3 words -> no ngrams, keep
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_ratio"] == 0.0 and got[1]["repetition_keep"] == 1
+    # 8 trigrams, all identical -> 7/8 duplicates -> dropped
+    assert got[2]["n_ngrams"] == 8 and got[2]["dup_ratio"] == 0.875
+    assert got[2]["repetition_keep"] == 0
+    assert got[3]["n_ngrams"] == 0 and got[3]["repetition_keep"] == 1

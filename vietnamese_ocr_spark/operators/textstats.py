@@ -47,6 +47,37 @@ def quality_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition filter: fraction of duplicate word
+    n-grams per document (Rae et al. 2021, "Scaling Language Models" —
+    the public repetition heuristics used to drop looping/boilerplate
+    docs from training corpora). dup_ratio = 1 - distinct/total over the
+    doc's n-gram multiset; docs with < n words score 0.
+
+    Pure per-row Column math (shingle transform + array_distinct) — no
+    shuffle, no UDF; at 100 TB this is a single codegen'd scan."""
+    from .dedup import add_shingles
+
+    sh = F.col("_sh")
+    total = F.size(sh)
+    dup_ratio = F.when(
+        total > 0,
+        F.round((total - F.size(F.array_distinct(sh))) / total, 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        add_shingles(docs, n, out="_sh")
+        .select(
+            "doc_id",
+            total.cast("long").alias("n_ngrams"),
+            dup_ratio.alias("dup_ratio"),
+            # Gopher drops docs with >0.2 duplicate 3-gram mass
+            F.when(dup_ratio <= 0.2, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("repetition_keep"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Character-frequency heuristic language ID (n-gram-lite).
 

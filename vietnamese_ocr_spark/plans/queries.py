@@ -477,6 +477,11 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_quality_repetition(spark, sf):
+    """Gopher-style duplicate-3-gram ratio per document."""
+    return textstats.repetition_stats(t(spark, sf, "documents"))
+
+
 def q_sample_hash(spark, sf):
     """Deterministic 25% corpus sample (operators/sampling.py) — same
     rows at any cluster size / partitioning, unlike rand(seed)."""
@@ -1234,6 +1239,26 @@ ORACLE_SQL: dict[str, str] = {
         select n as doc_id, min(m)::bigint as component
         from walk group by n
     """,
+    "quality_repetition": """
+        with sh as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as g
+          from documents)
+        select doc_id,
+               len(g)::bigint as n_ngrams,
+               case when len(g) > 0
+                    then round((len(g) - len(list_distinct(g))) / len(g), 6)
+                    else 0.0 end as dup_ratio,
+               case when (case when len(g) > 0
+                    then round((len(g) - len(list_distinct(g))) / len(g), 6)
+                    else 0.0 end) <= 0.2 then 1 else 0 end as repetition_keep
+        from sh
+    """,
     "sample_hash": """
         select doc_id, lang from documents
         where substr(md5('42:' || doc_id), 1, 8) < '40000000'
@@ -1292,6 +1317,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "main_content": q_main_content,
+    "quality_repetition": q_quality_repetition,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "similarity_topk": q_similarity_topk,
