@@ -51,6 +51,21 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="show an extract table's snapshots + lineage")
     st.add_argument("--out", required=True, help="extract table root dir")
 
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation over a (doc_id, text, ...) table: quality + "
+        "repetition gates, near-dup canonical dedup, deterministic sample",
+    )
+    cu.add_argument("--documents", required=True, help="documents parquet with a text column")
+    cu.add_argument("--out", required=True, help="curated parquet output dir")
+    cu.add_argument("--master", default=None)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.5)
+    cu.add_argument("--sample-frac", type=float, default=1.0)
+    cu.add_argument("--seed", type=int, default=42)
+    cu.add_argument("--no-quality", action="store_true")
+    cu.add_argument("--no-repetition", action="store_true")
+    cu.add_argument("--no-dedup", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "status":
@@ -94,6 +109,28 @@ def main(argv: list[str] | None = None) -> int:
         from .packaging import build_pyfiles_zip
 
         print(json.dumps({"py_files": build_pyfiles_zip(args.out)}))
+        return 0
+
+    if args.cmd == "curate":
+        from .config import get_spark
+        from .plans.curate import curate_df
+
+        spark = get_spark("curate-cli", master=args.master)
+        try:
+            docs = spark.read.parquet(args.documents)
+            curated, stats = curate_df(
+                docs,
+                jaccard_threshold=args.jaccard_threshold,
+                sample_frac=args.sample_frac,
+                seed=args.seed,
+                with_quality=not args.no_quality,
+                with_repetition=not args.no_repetition,
+                with_dedup=not args.no_dedup,
+            )
+            curated.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "stages": stats}))
+        finally:
+            spark.stop()
         return 0
 
     if args.cmd == "synth":
