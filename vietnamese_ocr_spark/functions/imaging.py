@@ -114,19 +114,28 @@ def grayscale(arr: np.ndarray) -> np.ndarray:
 
 
 def autocontrast(arr: np.ndarray) -> np.ndarray:
-    """Deterministic histogram stretch (PIL ImageOps.autocontrast, cutoff=0)."""
+    """Deterministic histogram stretch (PIL ImageOps.autocontrast, cutoff=0).
+
+    Computed through a 256-entry LUT: the float math runs once per gray
+    VALUE instead of once per pixel (bit-identical to the per-pixel form,
+    ~8x less float work on typical strips)."""
     lo = int(arr.min())
     hi = int(arr.max())
     if hi <= lo:
         return arr
     scale = 255.0 / (hi - lo)
-    out = (arr.astype(np.float32) - np.float32(lo)) * np.float32(scale)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    lut = np.clip(
+        (np.arange(256, dtype=np.float32) - np.float32(lo)) * np.float32(scale),
+        0,
+        255,
+    ).astype(np.uint8)
+    return lut[arr]
 
 
 def invert(arr: np.ndarray) -> np.ndarray:
-    """bitwise_not — dark ink on light paper becomes bright signal on 0."""
-    return (255 - arr.astype(np.int32)).astype(np.uint8)
+    """bitwise_not — dark ink on light paper becomes bright signal on 0.
+    (For uint8, ~x == 255 - x; no int32 round-trip.)"""
+    return np.invert(arr)
 
 
 def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
