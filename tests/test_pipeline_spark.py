@@ -151,6 +151,56 @@ def test_span_equality_generalizes_to_other_seed(spark, tmp_path):
     assert _collect_extracted(extracted) == want
 
 
+def test_hot_media_ref_skew_stays_correct(spark, tmp_path):
+    """Pathological skew: ONE media_ref referenced by 300 of 301 docs.
+    distinct-ref means the whale payload is recognized once; the join
+    back fans the single recognition out to every referencing doc (the
+    hot-key path AQE skew-join handles at scale). Output must stay
+    span-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_spark.functions.imaging import png_encode
+    from vietnamese_ocr_spark.model.glyphs import build_atlas, render_line
+    from vietnamese_ocr_spark.model.vocab import Vocabulary
+    from vietnamese_ocr_spark.oracle import extract as oracle_extract
+
+    vocab = Vocabulary()
+    atlas = build_atlas(vocab)
+    word_a, word_b = "".join(vocab.letters[:5]), "".join(vocab.letters[5:9])
+    whale_png = png_encode(render_line(word_a, 64, atlas))
+    rare_png = png_encode(render_line(word_b, 64, atlas))
+    docs = [
+        {"doc_id": f"d{i:04d}",
+         "spans": [{"kind": "media", "text": None,
+                    "media_ref": "whale.png", "offset": 0}]}
+        for i in range(300)
+    ] + [{"doc_id": "d9999",
+          "spans": [{"kind": "media", "text": None,
+                     "media_ref": "rare.png", "offset": 0}]}]
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()), ("offset", pa.int32())]))
+    docs_p = str(tmp_path / "docs.parquet")
+    media_p = str(tmp_path / "media.parquet")
+    pq.write_table(pa.table({
+        "doc_id": [d["doc_id"] for d in docs],
+        "spans": pa.array([d["spans"] for d in docs], span_t),
+    }), docs_p)
+    pq.write_table(pa.table({
+        "media_ref": ["whale.png", "rare.png"],
+        "png": [whale_png, rare_png],
+        "size_b": [len(whale_png), len(rare_png)],
+    }), media_p)
+
+    want = oracle_extract(docs_p, media_p)
+    extracted, rec = extract_df(
+        spark, spark.read.parquet(docs_p), spark.read.parquet(media_p)
+    )
+    assert _collect_extracted(extracted) == want
+    # the whale was recognized exactly once despite 300 references
+    assert rec.count() == 2
+
+
 def test_lineage_table_written(spark, corpus, tmp_path):
     out = str(tmp_path / "lin")
     run_extract(spark, corpus["documents"], corpus["media"], out)
