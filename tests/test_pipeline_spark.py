@@ -135,6 +135,32 @@ def test_snapshot_time_travel(spark, corpus, tmp_path, golden):
     assert done.count() == 100
 
 
+def test_snapshot_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution across snapshots: a later run appends
+    files with an extra column; merge_schema=True reads old + new
+    together (old rows NULL in the new column), exactly the Iceberg
+    additive-evolution contract."""
+    from pyspark.sql import functions as F
+
+    from vietnamese_ocr_spark.sources.tableio import ExtractTable
+
+    out = str(tmp_path / "evo")
+    table = ExtractTable(out)
+    v1 = spark.createDataFrame([("a", 1)], "doc_id string, n int")
+    s1 = table.commit("r1", {"data_files": table.append_extracted(v1)})
+    v2 = spark.createDataFrame([("b", 2, 0.9)], "doc_id string, n int, quality double")
+    s2 = table.commit("r2", {"data_files": table.append_extracted(v2)})
+
+    merged = table.read_snapshot(spark, s2, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "n", "quality"}
+    rows = {r["doc_id"]: r["quality"] for r in merged.collect()}
+    assert rows == {"a": None, "b": 0.9}
+    # time travel to s1 still sees only the v1 schema's data
+    assert table.read_snapshot(spark, s1).count() == 1
+    # and a filter on the evolved column prunes NULLs correctly
+    assert merged.filter(F.col("quality") > 0.5).count() == 1
+
+
 def test_span_equality_generalizes_to_other_seed(spark, tmp_path):
     """Not tuned to seed 42: a fresh corpus from a different seed must
     also match the oracle span-for-span."""

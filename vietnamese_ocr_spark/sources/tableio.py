@@ -100,9 +100,20 @@ class ExtractTable:
         df.write.mode("append").parquet(self.extracted_dir)
         return sorted(self._data_files() - before)
 
-    def read_snapshot(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """Time travel: read the table as of `snapshot_id` (default: head) —
-        the union of data files committed by snapshots <= id."""
+        the union of data files committed by snapshots <= id.
+
+        `merge_schema=True` reconciles files written under different
+        schema versions (Iceberg-style additive evolution: a later run
+        appends files with an extra column; old files surface it as
+        NULL). Off by default — the merged-footer scan reads every file's
+        footer, which a fixed-schema read shouldn't pay."""
         snaps = self.manifest()["snapshots"]
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["snapshot_id"] <= snapshot_id]
@@ -113,7 +124,10 @@ class ExtractTable:
         ]
         if not files:
             raise ValueError(f"no committed data at snapshot {snapshot_id}")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def append_lineage(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.lineage_dir)
