@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_jaccard",
     "similarity_topk",
+    "similarity_topk_zip",
     "similarity_ivf_topk",
     "similarity_ivf_kmeans",
     "similarity_knn_join",

@@ -96,6 +96,22 @@ def test_similarity_joins_broadcast_small_sides(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_cosine_topk_zip_plan_has_no_explode_or_join(spark):
+    """The zip_with/aggregate top-k must stay a single codegen'd
+    projection over the scan: no Generate (explode), no join of any
+    kind, no aggregation exchange before the final top-k sort."""
+    from vietnamese_ocr_spark.operators.similarity import cosine_topk_zip
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plan = _formatted_plan(cosine_topk_zip(emb, 0, k=3))
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
 def test_whole_stage_codegen_on_relational_skeleton(spark):
     """The text-analysis path is pure Column expressions — it must compile
     into WholeStageCodegen spans, no Python in the hot path."""

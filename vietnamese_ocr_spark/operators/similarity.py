@@ -43,6 +43,37 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+def cosine_topk_zip(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact cosine top-k via zip_with/aggregate — the per-row form.
+
+    cosine_topk (above) explodes to (vec, pos) rows and joins by
+    dimension: at 10^12 vectors x 64 dims that is a 64x row fan-out plus
+    a groupBy shuffle. Here the query vector is collected once (one row,
+    64 floats) and inlined as an array literal, so the whole dot product
+    runs INSIDE one whole-stage-codegen'd projection over the scan — no
+    explode, no join, no aggregation shuffle; the only exchange is the
+    final k-row top-k. Same output, same oracle; strictly better plan
+    for the single-query case."""
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .head()[0]
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    nq = float(sum(x * x for x in q)) ** 0.5
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = embeddings.select(
+        "vec_id", F.round(dot / (nv * F.lit(nq)), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
 def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
              n_centroids: int = 8) -> DataFrame:
     """IVF-style ANN: coarse-quantize to the nearest centroid, then search

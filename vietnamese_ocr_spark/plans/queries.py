@@ -540,6 +540,12 @@ def q_similarity_ivf_topk(spark, sf):
     return similarity.ivf_topk(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_similarity_topk_zip(spark, sf):
+    """Same result as similarity_topk via the zip_with/aggregate per-row
+    plan (no explode, no join) — same oracle SQL."""
+    return similarity.cosine_topk_zip(t(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def q_similarity_knn_join(spark, sf):
     """Batch k-NN: top-5 per query for queries {0,1,2} in one corpus pass."""
     return similarity.knn_join(t(spark, sf, "embeddings"), [0, 1, 2], k=5)
@@ -1033,6 +1039,26 @@ ORACLE_SQL: dict[str, str] = {
                round(coalesce(sum(jaccard), 0), 6) as sum_jaccard
         from j
     """,
+    # same oracle as similarity_topk — the zip variant must produce the
+    # identical answer through a different physical plan
+    "similarity_topk_zip": """
+        with dims as (
+          select vec_id, generate_subscripts(embedding, 1) as pos,
+                 unnest(embedding)::double as v
+          from embeddings),
+        q as (select pos, v as qv from dims where vec_id = 0),
+        scored as (
+          select d.vec_id,
+                 sum(d.v * q.qv) as dot,
+                 sqrt(sum(d.v * d.v)) as nv,
+                 sqrt(sum(q.qv * q.qv)) as nq
+          from dims d join q on d.pos = q.pos
+          group by d.vec_id)
+        select vec_id, round(dot / (nv * nq), 6) as cosine
+        from scored
+        order by cosine desc, vec_id
+        limit 10
+    """,
     "similarity_topk": """
         with dims as (
           select vec_id, generate_subscripts(embedding, 1) as pos,
@@ -1323,6 +1349,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_topk_zip": q_similarity_topk_zip,
     "similarity_knn_join": q_similarity_knn_join,
     "similarity_kmeans_codebook": q_similarity_kmeans_codebook,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
