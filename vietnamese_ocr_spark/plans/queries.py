@@ -477,6 +477,15 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_profile_documents(spark, sf):
+    """Per-column QA profile of the documents table — one scan."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        t(spark, sf, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_quality_repetition(spark, sf):
     """Gopher-style duplicate-3-gram ratio per document."""
     return textstats.repetition_stats(t(spark, sf, "documents"))
@@ -1265,6 +1274,32 @@ ORACLE_SQL: dict[str, str] = {
         select n as doc_id, min(m)::bigint as component
         from walk group by n
     """,
+    "profile_documents": """
+        select * from (
+          select 'doc_id' as column, count(*)::bigint as n_rows,
+                 sum(case when doc_id is null then 1 else 0 end)::bigint as n_nulls,
+                 count(distinct doc_id)::bigint as n_distinct,
+                 min(doc_id)::varchar as min_str, max(doc_id)::varchar as max_str
+          from documents
+          union all
+          select 'lang', count(*)::bigint,
+                 sum(case when lang is null then 1 else 0 end)::bigint,
+                 count(distinct lang)::bigint,
+                 min(lang)::varchar, max(lang)::varchar
+          from documents
+          union all
+          select 'source', count(*)::bigint,
+                 sum(case when source is null then 1 else 0 end)::bigint,
+                 count(distinct source)::bigint,
+                 min(source)::varchar, max(source)::varchar
+          from documents
+          union all
+          select 'n_chars', count(*)::bigint,
+                 sum(case when n_chars is null then 1 else 0 end)::bigint,
+                 count(distinct n_chars)::bigint,
+                 min(n_chars)::varchar, max(n_chars)::varchar
+          from documents)
+    """,
     "quality_repetition": """
         with sh as (
           select doc_id,
@@ -1343,6 +1378,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_canonical": q_dedup_canonical,
     "main_content": q_main_content,
+    "profile_documents": q_profile_documents,
     "quality_repetition": q_quality_repetition,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
