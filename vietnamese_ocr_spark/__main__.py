@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> int:
         help="raw directory of PNG files instead of --documents/--media — "
         "the reference's primary input mode (one doc per image)",
     )
+    ex.add_argument(
+        "--jsonl",
+        action="store_true",
+        help="treat --documents/--media as JSONL (media payloads base64) "
+        "instead of parquet",
+    )
     ex.add_argument("--out", required=True)
     ex.add_argument("--master", default=None)
     ex.add_argument("--no-resume", action="store_true")
@@ -156,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 folder_documents(media_df),
                 media_df,
+                args.out,
+                resume=not args.no_resume,
+                n_partitions=args.partitions,
+            )
+        elif args.jsonl:
+            from .sources.jsonl import read_documents_jsonl, read_media_jsonl
+
+            result = run_extract_frames(
+                spark,
+                read_documents_jsonl(spark, args.documents),
+                read_media_jsonl(spark, args.media),
                 args.out,
                 resume=not args.no_resume,
                 n_partitions=args.partitions,

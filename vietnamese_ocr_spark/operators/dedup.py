@@ -31,6 +31,8 @@ def _spread(docs: DataFrame) -> DataFrame:
     splits than the configured parallelism (e.g. a single test parquet
     file, which would otherwise run the whole shingle transform on one
     core — measured 9.6s single-core vs 0.4s spread at sf0.1)."""
+    if docs.isStreaming:  # .rdd is illegal on streams; micro-batches are
+        return docs       # already split by the source's trigger policy
     n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if docs.rdd.getNumPartitions() < n:
         return docs.repartition(n)
