@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="show an extract table's snapshots + lineage")
     st.add_argument("--out", required=True, help="extract table root dir")
 
+    pf = sub.add_parser(
+        "profile", help="per-column QA stats (rows/nulls/distincts/min/max)"
+    )
+    pf.add_argument("--table", required=True, help="parquet table path")
+    pf.add_argument("--columns", default=None, help="comma-separated subset")
+    pf.add_argument("--master", default=None)
+
     cu = sub.add_parser(
         "curate",
         help="corpus curation over a (doc_id, text, ...) table: quality + "
@@ -115,6 +122,23 @@ def main(argv: list[str] | None = None) -> int:
         from .packaging import build_pyfiles_zip
 
         print(json.dumps({"py_files": build_pyfiles_zip(args.out)}))
+        return 0
+
+    if args.cmd == "profile":
+        from .config import get_spark
+        from .operators.profile import profile_table
+
+        spark = get_spark("profile-cli", master=args.master)
+        try:
+            df = spark.read.parquet(args.table)
+            cols = args.columns.split(",") if args.columns else None
+            rows = profile_table(df, cols).collect()
+            print(json.dumps({r["column"]: {
+                "rows": r["n_rows"], "nulls": r["n_nulls"],
+                "distinct": r["n_distinct"], "min": r["min_str"],
+                "max": r["max_str"]} for r in rows}))
+        finally:
+            spark.stop()
         return 0
 
     if args.cmd == "curate":
