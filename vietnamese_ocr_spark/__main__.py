@@ -52,7 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     rc = sub.add_parser(
         "recognize", help="single-image recognition (reference: predict.py --type single)"
     )
-    rc.add_argument("--png", required=True, help="path to a gray8 PNG")
+    rc.add_argument("--png", help="path to a gray8 PNG")
+    rc.add_argument(
+        "--interactive",
+        action="store_true",
+        help="S10: read PNG paths from stdin (one per line), emit one JSON "
+        "result per line — the terminal-native form of the reference's "
+        "interactive app.py session; the model loads once",
+    )
 
     st = sub.add_parser("status", help="show an extract table's snapshots + lineage")
     st.add_argument("--out", required=True, help="extract table root dir")
@@ -110,13 +117,31 @@ def main(argv: list[str] | None = None) -> int:
         from .model.pipeline import recognize_png_batch
         from .model.recognizer import Recognizer, build_weights
 
-        with open(args.png, "rb") as f:
-            payload = f.read()
-        texts, hist, ok = recognize_png_batch([payload], Recognizer(build_weights()))
-        text = texts[0] if texts[0] else "a"  # src/utils/inference.py:108-110
-        print(json.dumps({"text": text, "decode_ok": ok[0],
-                          "tokens": int(hist[0].sum())}))
-        return 0 if ok[0] else 1
+        if bool(args.png) == bool(args.interactive):
+            p.error("pass exactly one of --png PATH or --interactive")
+        rec = Recognizer(build_weights())
+
+        def one(path: str) -> dict:
+            with open(path, "rb") as f:
+                payload = f.read()
+            texts, hist, ok = recognize_png_batch([payload], rec)
+            text = texts[0] if texts[0] else "a"  # inference.py:108-110
+            return {"text": text, "decode_ok": ok[0], "tokens": int(hist[0].sum())}
+
+        if args.interactive:
+            for line in sys.stdin:
+                path = line.strip()
+                if not path:
+                    continue
+                try:
+                    out = one(path)
+                except OSError as ex:
+                    out = {"error": str(ex), "path": path}
+                print(json.dumps(out), flush=True)
+            return 0
+        out = one(args.png)
+        print(json.dumps(out))
+        return 0 if out["decode_ok"] else 1
 
     if args.cmd == "package":
         from .packaging import build_pyfiles_zip
