@@ -47,6 +47,38 @@ def quality_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns restricted to the regex subset where Java (Spark) and RE2
+# (DuckDB) agree: no backrefs, no lookaround, explicit classes only.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone-shaped runs to typed placeholders —
+    the standard pre-training privacy pass, as a chained JVM
+    regexp_replace (no UDF). Order matters: emails first so their digits
+    don't half-match the phone pattern."""
+    out = text
+    for name, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc PII hit counts + the redacted text."""
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat in _PII_PATTERNS
+        ],
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     """Gopher-style repetition filter: fraction of duplicate word
     n-grams per document (Rae et al. 2021, "Scaling Language Models" —
@@ -95,6 +127,18 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count("*").alias("n"))
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, window: int = 5) -> DataFrame:
+    """Test-set decontamination: drop training docs whose winnowing
+    fingerprint collides with any benchmark doc's fingerprint — the
+    standard eval-leakage guard before pre-training. The benchmark side
+    is tiny (eval suites are small), so the anti-join broadcasts; the
+    corpus is fingerprinted in one projection pass."""
+    bench_fps = fingerprint(benchmark, window).select("fp").distinct()
+    fps = fingerprint(docs, window)
+    clean_ids = fps.join(F.broadcast(bench_fps), "fp", "left_anti").select("doc_id")
+    return docs.join(clean_ids, "doc_id")
 
 
 def fingerprint(docs: DataFrame, window: int = 5) -> DataFrame:

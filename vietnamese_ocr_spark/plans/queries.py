@@ -486,6 +486,24 @@ def q_profile_documents(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Eval-leakage guard: docs with doc_id % 41 == 0 stand in as the
+    held-out benchmark; every training doc sharing a winnowing
+    fingerprint with any of them is dropped (including the benchmark
+    members themselves, which trivially collide)."""
+    docs = t(spark, sf, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 41 == 0)
+    return textstats.decontaminate(docs, benchmark).select("doc_id", "n_chars")
+
+
+def q_pii_redaction(spark, sf):
+    """PII scrub over the documents table. The corpus text contains no
+    PII (word soup), so counts are 0 and redacted == text — the regex
+    machinery is value-checked on real PII in tests/test_pii.py; this
+    row pins the cross-engine pattern semantics on corpus-shaped text."""
+    return textstats.pii_stats(t(spark, sf, "documents"))
+
+
 def q_quality_repetition(spark, sf):
     """Gopher-style duplicate-3-gram ratio per document."""
     return textstats.repetition_stats(t(spark, sf, "documents"))
@@ -1300,6 +1318,26 @@ ORACLE_SQL: dict[str, str] = {
                  min(n_chars)::varchar, max(n_chars)::varchar
           from documents)
     """,
+    "pii_redaction": "__built_below__",
+    "decontaminate": """
+        with w as (select doc_id, n_chars, string_split(text, ' ') as ws,
+                          text from documents),
+        fps as (
+          select doc_id, n_chars,
+                 coalesce(
+                   list_min(list_transform(
+                     case when len(ws) >= 5
+                          then list_transform(range(1, len(ws) - 3),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    || ' ' || ws[i+3] || ' ' || ws[i+4])
+                          else [] end,
+                     s -> md5(s))),
+                   md5(text)) as fp
+          from w),
+        bench as (select distinct fp from fps where doc_id % 41 = 0)
+        select doc_id, n_chars from fps
+        where fp not in (select fp from bench)
+    """,
     "quality_repetition": """
         with sh as (
           select doc_id,
@@ -1347,6 +1385,29 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+
+def _pii_oracle() -> str:
+    """Built from the same _PII_PATTERNS the Spark operator uses, so the
+    two sides cannot drift (patterns live in exactly one place)."""
+    from ..operators.textstats import _PII_PATTERNS
+
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::bigint as n_{name}"
+        for name, pat in _PII_PATTERNS
+    )
+    redacted = "text"
+    for name, pat in _PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name}>', 'g')"
+    return f"""
+        select doc_id,
+               {counts},
+               {redacted} as redacted
+        from documents
+    """
+
+
+ORACLE_SQL["pii_redaction"] = _pii_oracle()
+
 QUERIES = {
     "vocab_build": q_vocab_build,
     "max_target_len": q_max_target_len,
@@ -1380,6 +1441,8 @@ QUERIES = {
     "main_content": q_main_content,
     "profile_documents": q_profile_documents,
     "quality_repetition": q_quality_repetition,
+    "pii_redaction": q_pii_redaction,
+    "decontaminate": q_decontaminate,
     "sample_hash": q_sample_hash,
     "sample_stratified": q_sample_stratified,
     "similarity_topk": q_similarity_topk,
