@@ -71,13 +71,17 @@ def test_label_join_broadcasts_small_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_similarity_joins_broadcast_small_sides(spark):
-    """knn_join and the k-means assignment must broadcast the tiny side
-    (query dims / centroid dims) — a corpus-side shuffle join here would
-    move the full exploded embedding table per round at 10^12 scale."""
+def test_similarity_assignment_is_projection_shaped(spark):
+    """Round-3 plan contract: centroid assignment is scan -> 1-row
+    broadcast join -> codegen'd projection — no per-dimension Generate
+    (the old 64x explode), no row_number Window, no corpus-side shuffle
+    join; knn_join inlines the query vectors (no join at all) and
+    two-phases its top-k so no single reducer sees the whole corpus."""
     from vietnamese_ocr_spark.operators.similarity import (
         _assign,
-        _explode_dims,
+        _pack_centroids,
+        ivf_topk,
+        ivf_topk_kmeans,
         knn_join,
     )
 
@@ -85,14 +89,30 @@ def test_similarity_joins_broadcast_small_sides(spark):
         [(i, [float(i), float(i % 3)]) for i in range(40)],
         "vec_id bigint, embedding array<float>",
     )
-    dims = _explode_dims(emb)
-    cent = dims.filter(dims.vec_id < 2).selectExpr("vec_id as cid", "pos", "v as cv")
-    # (kmeans_codebook itself returns a localCheckpointed frame whose plan
-    # is already executed — assert on the per-round assignment join shape)
-    for df in (knn_join(emb, [0, 1], k=3), _assign(dims, cent)):
+    cent = spark.createDataFrame(
+        [(0, 0, 0.0), (0, 1, 1.0), (1, 0, 5.0), (1, 1, 1.0)],
+        "cid bigint, pos int, cv double",
+    )
+    assign_plan = _formatted_plan(_assign(emb, _pack_centroids(cent)))
+    assert "BroadcastNestedLoopJoin" in assign_plan  # the 1-row codebook
+    assert "Generate" not in assign_plan
+    assert "Window" not in assign_plan
+    assert "SortMergeJoin" not in assign_plan
+
+    knn_plan = _formatted_plan(knn_join(emb, [0, 1], k=3))
+    assert "Join" not in knn_plan  # queries are inlined literals
+    assert knn_plan.count("Window") >= 2  # salted local + exact final top-k
+    assert "SortMergeJoin" not in knn_plan
+
+    # full IVF plans (first-n and trained codebook): assignment + probe
+    # subtrees are projection-shaped end to end
+    for df in (
+        ivf_topk(emb, 0, k=3, n_centroids=2, nprobe=2),
+        ivf_topk_kmeans(emb, 0, k=3, n_centroids=2, iters=1),
+    ):
         plan = _formatted_plan(df)
-        assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
+        assert "Generate" not in plan
+        assert "Window" not in plan
         assert "CartesianProduct" not in plan
 
 
