@@ -109,9 +109,16 @@ def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = {name: _wrap(fn) for name, fn in QUERIES.items()}
-    q["ocr_extract"] = _wrap(_ocr_extract_flat)
-    q["ocr_recognize"] = _wrap(_ocr_recognize)
+    """Flagship FIRST: the driver records correctness rows for the first
+    50 entries only, and QUERIES holds exactly 48 — so every entry here
+    lands inside the driver's window. The demonstration/alternate-plan
+    queries (plans/queries.py:EXTRA_QUERIES) are verified by
+    tests/test_oracle.py through the same harness instead."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "ocr_extract": _wrap(_ocr_extract_flat),
+        "ocr_recognize": _wrap(_ocr_recognize),
+    }
+    q.update({name: _wrap(fn) for name, fn in QUERIES.items()})
     return q
 
 
@@ -140,6 +147,28 @@ def oracle_sql() -> dict[str, str]:
         paths = ensure_sf_golden(_CORRECTNESS_SF_DIR)
         for name, cols in _GOLDEN_COLS.items():
             sql[name] = f"SELECT {cols} FROM read_parquet('{paths[name]}')"
+    except (FileNotFoundError, OSError) as exc:
+        # testdata absent (local dev) -> those queries stay rows-only,
+        # but NEVER silently: the downgrade must be visible
+        print(
+            f"[oracle_sql] golden oracle unavailable ({exc!r}); "
+            f"falling back to rows-only for: {', '.join(_GOLDEN_COLS)}",
+            file=sys.stderr,
+        )
     except Exception:
-        pass  # testdata absent (local dev) -> those queries stay rows-only
-    return sql
+        # a genuine golden.py bug must not silently weaken the gate:
+        # log the full traceback, then degrade those 5 queries to
+        # rows-only rather than failing every other query's comparison
+        import traceback
+
+        print(
+            "[oracle_sql] golden generation FAILED — rows-only fallback "
+            f"for: {', '.join(_GOLDEN_COLS)}",
+            file=sys.stderr,
+        )
+        traceback.print_exc()
+    # keep the driver contract tight: oracle keys ⊆ queries() keys (the
+    # module-level ORACLE_SQL also carries oracles for EXTRA_QUERIES,
+    # which the pytest harness compares instead)
+    registered = {"ocr_extract", "ocr_recognize", *QUERIES}
+    return {k: v for k, v in sql.items() if k in registered}

@@ -39,11 +39,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_sig",
     "dedup_minhash_bands",
+    "dedup_minhash_pipeline",
     "dedup_simhash",
     "dedup_jaccard",
     "similarity_topk",
     "similarity_topk_zip",
     "similarity_ivf_topk",
+    "similarity_ivf_recall",
     "similarity_ivf_kmeans",
     "similarity_knn_join",
     "lang_id",
@@ -61,11 +63,15 @@ def force(df) -> int:
 
 def prep_corpus(spark, sf_dir: str) -> str:
     """Materialize the derived interleaved corpus as parquet tables once
-    (distributed, in-executors); reused across bench runs of the same sf."""
+    (distributed, in-executors); reused across bench runs of the same sf.
+    Cache keyed on a CONTENT fingerprint of the source documents table
+    (golden.py's size+mtime recipe), not the path basename — regenerated
+    testdata or two dirs sharing a basename can never serve a stale or
+    foreign corpus."""
+    from vietnamese_ocr_spark.golden import _fingerprint
     from vietnamese_ocr_spark.sources.sf_adapter import derive_documents, derive_media
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/vos_bench_corpus/{tag}"
+    out = f"/tmp/vos_bench_corpus/{_fingerprint(sf_dir)}"
     docs_p, media_p = f"{out}/documents.parquet", f"{out}/media.parquet"
     marker = f"{out}/_READY"
     if not os.path.exists(marker):
@@ -87,7 +93,9 @@ def main() -> int:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     entrymod._ship_package(spark)
-    qs = entrymod.queries()
+    from vietnamese_ocr_spark.plans.queries import EXTRA_QUERIES
+
+    qs = {**entrymod.queries(), **EXTRA_QUERIES}
 
     # session warmup (JVM/codegen), not counted
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -119,10 +127,13 @@ def main() -> int:
     # min of two runs per query: this VM shows multi-second noise spikes,
     # and min-wall is the standard filter for them; each attempt starts
     # cache-cold so the min is a real end-to-end time
+    from vietnamese_ocr_spark.operators.dedup import release_persisted
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         walls = []
         for _ in range(2):
+            release_persisted()  # scoped release of operator caches
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             if name == "ocr_extract":

@@ -84,6 +84,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     from vietnamese_ocr_spark.config import get_spark
 
     queries, oracle = entrymod.queries(), entrymod.oracle_sql()
+    # the secondary registry (outside the driver's 50-row window) is
+    # compared through the same machinery
+    from vietnamese_ocr_spark.plans.queries import EXTRA_QUERIES, ORACLE_SQL
+
+    queries = {**queries, **EXTRA_QUERIES}
+    oracle = {**{k: v for k, v in ORACLE_SQL.items() if k in EXTRA_QUERIES}, **oracle}
     spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
     con = duck_connection(sf_dir)
     failed = []

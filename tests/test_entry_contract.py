@@ -12,6 +12,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from tests.compare_harness import compare_one, duck_connection  # noqa: E402
+from vietnamese_ocr_spark.plans.queries import (  # noqa: E402
+    EXTRA_QUERIES,
+    ORACLE_SQL,
+    QUERIES,
+)
 
 SF_DIR = "/root/testdata/sf0.01"
 ORACLED = sorted(entrymod.oracle_sql())
@@ -27,6 +32,25 @@ def duck():
 
 def test_oracle_keys_subset_of_queries():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+def test_primary_registry_fits_driver_window():
+    """The driver records correctness rows for the FIRST 50 queries()
+    entries only (round-2 verdict #1): the registry must stay <= 50 with
+    the flagship pair leading, so every registered query gets a row."""
+    q = list(entrymod.queries())
+    assert len(q) <= 50, f"{len(q)} entries — tail would get no driver row"
+    assert q[:2] == ["ocr_extract", "ocr_recognize"]
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+def test_extra_query_matches_oracle(name, spark, duck):
+    """The secondary registry (outside the driver window) stays
+    value-verified through the identical comparison."""
+    ok, msg = compare_one(
+        name, spark, duck, SF_DIR, {**QUERIES, **EXTRA_QUERIES}, ORACLE_SQL
+    )
+    assert ok, f"{name}: {msg}"
 
 
 def test_entry_smoke(spark):

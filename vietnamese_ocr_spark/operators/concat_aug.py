@@ -44,23 +44,31 @@ def concat_two(img1: np.ndarray, img2: np.ndarray) -> np.ndarray:
 
 def concat_aug_images(labeled_media: DataFrame, seed: int = 42) -> DataFrame:
     """labeled_media(media_ref, png, text) -> one augmented sample per
-    adjacent pair under the seeded permutation (row 2k with row 2k+1)."""
+    adjacent pair under the seeded permutation (row 2k with row 2k+1).
+
+    PNG payloads never enter the pairing windows: the global permutation
+    ranks (shuffle_key, media_ref) ID rows only — a few bytes per row —
+    and both partners' payloads are joined back by ref afterwards, each
+    crossing the wire exactly once in a hash join. (Round-2 ADVICE: the
+    previous lead('png') dragged full payloads through a single-task
+    global sort.) The id-only total order is the standard cheap piece;
+    at 10^12 rows you'd swap it for a range-partitioned rank over the
+    same key with identical output."""
+    ids = labeled_media.select("media_ref")
     w = Window.orderBy(shuffle_key("media_ref", seed), "media_ref")
-    ordered = labeled_media.select(
+    ordered = ids.select("media_ref", F.row_number().over(w).alias("_pos"))
+    id_pairs = ordered.select(
         "media_ref",
-        "png",
-        "text",
-        F.row_number().over(w).alias("_pos"),
-    )
-    paired = ordered.select(
-        "media_ref",
-        "png",
-        "text",
         "_pos",
         F.lead("media_ref").over(Window.orderBy("_pos")).alias("ref2"),
-        F.lead("png").over(Window.orderBy("_pos")).alias("png2"),
-        F.lead("text").over(Window.orderBy("_pos")).alias("text2"),
     ).filter((F.col("_pos") % 2 == 1) & F.col("ref2").isNotNull())
+    left = labeled_media.select("media_ref", "png", "text")
+    right = labeled_media.select(
+        F.col("media_ref").alias("ref2"),
+        F.col("png").alias("png2"),
+        F.col("text").alias("text2"),
+    )
+    paired = id_pairs.join(left, "media_ref").join(right, "ref2")
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -20,6 +20,35 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Persisted frames created inside operators, released via
+# release_persisted(): callers consume the returned DataFrames lazily,
+# so the operator itself can never unpersist safely — the session-level
+# consumer (bench loop, curate CLI, test harness) calls
+# release_persisted() after each action instead of relying on blanket
+# clearCache().
+_TRACKED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every operator-internal cache created since the last
+    call; returns how many were released."""
+    n = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _TRACKED.clear()
+    return n
+
+
 def _words():
     return F.split(F.col("text"), " ")
 
@@ -31,12 +60,21 @@ def _spread(docs: DataFrame) -> DataFrame:
     splits than the configured parallelism (e.g. a single test parquet
     file, which would otherwise run the whole shingle transform on one
     core — measured 9.6s single-core vs 0.4s spread at sf0.1)."""
-    if docs.isStreaming:  # .rdd is illegal on streams; micro-batches are
-        return docs       # already split by the source's trigger policy
+    if docs.isStreaming:  # micro-batches are already split by the
+        return docs       # source's trigger policy
     n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if docs.rdd.getNumPartitions() < n:
-        return docs.repartition(n)
-    return docs
+    # inputFiles() (not df.rdd.getNumPartitions(), which forces a
+    # DataFrame->RDD conversion per call and is unavailable under Spark
+    # Connect) approximates the split count: a real 100-TB table arrives
+    # in thousands of files and skips the repartition entirely. Derived
+    # in-memory frames report no files and take the (cheap at their
+    # size) repartition.
+    try:
+        if len(docs.inputFiles()) >= n:
+            return docs
+    except Exception:
+        pass  # non-file-backed plan — fall through to the respread
+    return docs.repartition(n)
 
 
 def add_shingles(docs: DataFrame, n: int = 3, out: str = "shingles") -> DataFrame:
@@ -168,14 +206,16 @@ def jaccard_candidates(
     # transform twice per row on the narrow pre-shuffle side (measured
     # 2x full-query cost); the isnotnull filter on the generated column
     # cannot sink below the Generate, so the transform runs once, spread.
-    sh = (
+    sh = _persist_tracked(
         add_shingles(_spread(docs), shingle_n)
         .select("doc_id", F.explode_outer("shingles").alias("s"))
         .filter(F.col("s").isNotNull())
         .distinct()
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # persist: four subtrees consume sh (sizes, hot-shingle df, both join
     # sides); without it Spark re-runs the explode+distinct shuffle 4x.
+    # Tracked for release_persisted() so long sessions don't accumulate
+    # cached blocks across repeated calls.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         hot = (
@@ -202,3 +242,112 @@ def jaccard_candidates(
         .filter(ratio >= threshold)
         .select("da", "db", F.round(ratio, 6).alias("jaccard"))
     )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1_000,
+) -> DataFrame:
+    """Candidate pairs from MinHash LSH banding, r=1 rows per band:
+    k bands, band j keyed by the full j-th minhash value; docs sharing
+    ANY band key become a candidate pair (P[candidate] = 1-(1-J)^k).
+
+    This is the pair-emission step `minhash_band_buckets` (occupancy
+    only) stops short of. Scale shape: signatures are zero-shuffle
+    projections; the band self-join groups per (band, key) so pairs
+    emerge per-bucket, never all-pairs; buckets larger than
+    `max_bucket_size` are dropped first (the boilerplate guard — a
+    degenerate key shared by d docs would otherwise emit O(d^2) pairs),
+    mirroring jaccard_candidates' document-frequency cap."""
+    sig = minhash_signatures(docs, k, shingle_n)
+    bands = _persist_tracked(
+        sig.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"mh{j}") for j in range(k)])).alias(
+                "band", "h"
+            ),
+        )
+    )  # consumed by the hot-bucket scan and both join sides
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "h")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > max_bucket_size)
+            .select("band", "h")
+        )
+        bands = bands.join(hot, ["band", "h"], "left_anti")
+    a = bands.select(F.col("doc_id").alias("da"), "band", "h")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "h")
+    return (
+        a.join(b, ["band", "h"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    the verification pass after LSH banding. Pair-centric join: each
+    candidate pair pulls its two shingle sets, so cost scales with
+    |candidates| x shingles-per-doc, never corpus^2. Shingle sets are
+    first shrunk to docs that appear in any pair (semi-join); per-doc
+    sizes computed on the full sets of surviving docs, so the Jaccard
+    denominator is exact."""
+    cand_docs = (
+        pairs.select(F.col("da").alias("doc_id"))
+        .union(pairs.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    sh = _persist_tracked(
+        add_shingles(_spread(docs), shingle_n)
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .join(cand_docs, "doc_id", "left_semi")
+    )  # consumed by sizes and both pair sides
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("da"), "s")
+    shb = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        pairs.join(sha, "da")
+        .join(shb, ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    sza = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    ratio = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(sza, "da")
+        .join(szb, "db")
+        .filter(ratio >= threshold)
+        .select("da", "db", F.round(ratio, 6).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pipeline(
+    docs: DataFrame,
+    k: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_bucket_size: int | None = 1_000,
+) -> DataFrame:
+    """The composed near-dup pass as a 100-TB dedup actually runs:
+    MinHash signatures -> LSH band buckets -> candidate pairs ->
+    exact-Jaccard verification -> connected components. Returns
+    (doc_id, component) for every doc in a verified duplicate cluster.
+    Equals jaccard_candidates->connected_components whenever banding
+    recall is 1.0 (property-tested on the fixture corpora)."""
+    from .components import connected_components
+
+    pairs = minhash_candidate_pairs(docs, k, shingle_n, max_bucket_size)
+    verified = verify_jaccard_pairs(docs, pairs, shingle_n, threshold)
+    return connected_components(verified)
