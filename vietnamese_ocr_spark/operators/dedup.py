@@ -16,37 +16,14 @@ never the engines' internal hash() (which differ).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Persisted frames created inside operators, released via
-# release_persisted(): callers consume the returned DataFrames lazily,
-# so the operator itself can never unpersist safely — the session-level
-# consumer (bench loop, curate CLI, test harness) calls
-# release_persisted() after each action instead of relying on blanket
-# clearCache().
-_TRACKED: list[DataFrame] = []
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(df)
-    return df
-
-
-def release_persisted() -> int:
-    """Unpersist every operator-internal cache created since the last
-    call; returns how many were released."""
-    n = 0
-    for df in _TRACKED:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _TRACKED.clear()
-    return n
+# internal persists register with the shared scoped registry
+# (vietnamese_ocr_spark/caching.py); release_persisted is re-exported
+# for consumers that think in dedup terms
+from ..caching import persist_tracked as _persist_tracked  # noqa: E402
+from ..caching import release_persisted  # noqa: E402,F401
 
 
 def _words():

@@ -33,6 +33,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked, release_persisted
 from ..functions.text import normalize_text, with_empty_fallback
 from ..model.recognizer import build_weights, weights_to_bytes
 from ..operators.ocr_stage import OCR_OUTPUT_SCHEMA, make_ocr_stage, salted_repartition
@@ -126,7 +127,8 @@ def extract_df(
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    span_cols = persist_tracked(span_cols, StorageLevel.MEMORY_AND_DISK)
     # one branch for text spans AND marker rows: NULL kind (empty doc) and
     # unknown kinds both become NULL-kind markers that ride the union into
     # stitch — the doc survives with its known spans (or []) and no outer
@@ -254,7 +256,8 @@ def run_extract_frames(
         n_docs = table.read_snapshot(spark, committed).select("doc_id").count()
     finally:
         rec.unpersist()
-        # release the span_cols projection persisted inside extract_df
-        # (run_extract owns the whole job, so a blanket clearCache is safe)
-        spark.catalog.clearCache()
+        # scoped release of the span_cols projection persisted inside
+        # extract_df (and anything else engine-internal) — leaves
+        # application-level caches alone
+        release_persisted()
     return {"run_id": run_id, "snapshot_id": committed, "total_docs": n_docs}
