@@ -479,11 +479,16 @@ def q_dedup_components(spark, sf):
 
 def q_dedup_minhash_pipeline(spark, sf):
     """The composed banded near-dup pass as a 100-TB dedup actually
-    runs: MinHash signatures (8 perms) -> LSH bands (r=1) -> candidate
-    pairs (bucket-size-capped) -> exact-Jaccard verification at 0.2 ->
-    connected components. Oracle mirrors every stage."""
+    runs: fast MinHash signatures (8 perms, universal affine family) ->
+    (b=4, r=2) LSH bands -> candidate pairs (bucket-size-capped) ->
+    exact-Jaccard verification at 0.2 -> connected components. Oracle
+    mirrors every stage."""
     return dedup.minhash_dedup_pipeline(
-        t(spark, sf, "documents"), k=8, threshold=0.2, max_bucket_size=1000
+        t(spark, sf, "documents"),
+        k=8,
+        rows_per_band=2,
+        threshold=0.2,
+        max_bucket_size=1000,
     )
 
 
@@ -1438,17 +1443,27 @@ def _pii_oracle() -> str:
 ORACLE_SQL["pii_redaction"] = _pii_oracle()
 
 
-def _minhash_pipeline_oracle(k: int = 8, cap: int = 1000, threshold: float = 0.2) -> str:
+def _minhash_pipeline_oracle(
+    k: int = 8, rows_per_band: int = 2, cap: int = 1000, threshold: float = 0.2
+) -> str:
     """Full SQL mirror of operators/dedup.py:minhash_dedup_pipeline:
-    signatures -> r=1 bands -> bucket-capped candidate pairs -> exact
-    Jaccard verify (sizes over candidate docs' FULL shingle sets) ->
-    recursive min-label walk."""
+    universal-affine fast signatures -> (b, r) bands -> bucket-capped
+    candidate pairs -> exact Jaccard verify (sizes over candidate docs'
+    FULL shingle sets) -> recursive min-label walk. The A/B/P constants
+    are imported from the operator so the two sides cannot drift."""
+    from ..operators.dedup import MH_A, MH_B, MH_PRIME
+
     mh = ",\n               ".join(
-        f"coalesce(list_min(list_transform(shingles, s -> md5('{j}:' || s))),"
-        f" md5('{j}:' || text)) as mh{j}"
+        f"coalesce(list_min(list_transform(hv, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_PRIME})),"
+        f" ({MH_A[j]} * ht + {MH_B[j]}) % {MH_PRIME}) as mh{j}"
         for j in range(k)
     )
-    lst = ", ".join(f"mh{j}" for j in range(k))
+    lst = ", ".join(
+        " || ':' || ".join(
+            f"mh{j * rows_per_band + r}::varchar" for r in range(rows_per_band)
+        )
+        for j in range(k // rows_per_band)
+    )
     return f"""
         with recursive sh0 as (
           select doc_id, text,
@@ -1459,9 +1474,15 @@ def _minhash_pipeline_oracle(k: int = 8, cap: int = 1000, threshold: float = 0.2
                                 string_split(text, ' ')[i+2])
                       else [] end as shingles
           from documents),
+        hsh as (
+          select doc_id,
+                 list_transform(shingles,
+                                s -> ('0x' || substr(md5(s), 1, 7))::bigint) as hv,
+                 ('0x' || substr(md5(text), 1, 7))::bigint as ht
+          from sh0),
         sig as (select doc_id,
                {mh}
-          from sh0),
+          from hsh),
         bands as (
           select doc_id, generate_subscripts(l, 1) - 1 as band, unnest(l) as h
           from (select doc_id, [{lst}] as l from sig)),
