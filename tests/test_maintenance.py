@@ -1,0 +1,94 @@
+"""Table maintenance: small-file compaction (replace snapshots) and
+snapshot expiry — the Iceberg rewrite_data_files / expire_snapshots
+equivalents. At 10^12 docs incremental appends become millions of small
+parquet files; these are the passes that keep scans amortized and
+storage reclaimable, without ever changing query answers."""
+
+from __future__ import annotations
+
+import pytest
+
+from vietnamese_ocr_spark.sources.tableio import ExtractTable
+
+
+def _table_with_two_appends(spark, tmp_path):
+    table = ExtractTable(str(tmp_path / "tbl"))
+    a = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(50)], "doc_id string, n int"
+    ).repartition(8)
+    b = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(50, 90)], "doc_id string, n int"
+    ).repartition(8)
+    table.commit("run-a", {"data_files": table.append_extracted(a)})
+    table.commit("run-b", {"data_files": table.append_extracted(b)})
+    return table
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["n"]) for r in df.collect())
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    before_rows = _rows(table.read_snapshot(spark))
+    n_files_before = len(table._files_as_of())
+    assert n_files_before >= 16  # two 8-way appends
+
+    result = table.compact(spark, target_file_mb=128)
+    assert result["files_after"] < result["files_before"] == n_files_before
+    # head reads the compacted state, value-identical
+    assert _rows(table.read_snapshot(spark)) == before_rows
+    # time travel to the pre-compaction snapshots still works
+    assert len(_rows(table.read_snapshot(spark, snapshot_id=1))) == 50
+    assert _rows(table.read_snapshot(spark, snapshot_id=2)) == before_rows
+
+
+def test_resume_sees_all_docs_after_compaction(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    table.compact(spark, target_file_mb=128)
+    done = {r["doc_id"] for r in table.committed_doc_ids(spark).collect()}
+    assert len(done) == 90  # the resume anti-join loses nothing
+
+
+def test_append_after_compaction_accumulates(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    table.compact(spark, target_file_mb=128)
+    c = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(90, 100)], "doc_id string, n int"
+    )
+    table.commit("run-c", {"data_files": table.append_extracted(c)})
+    assert len(_rows(table.read_snapshot(spark))) == 100
+
+
+def test_expire_reclaims_files_and_cuts_time_travel(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    before_rows = _rows(table.read_snapshot(spark))
+    table.compact(spark, target_file_mb=128)
+    on_disk_before = len(table._data_files())
+
+    result = table.expire_snapshots(keep_last=1)
+    assert result["expired"] == 2
+    assert result["deleted_files"] > 0
+    assert len(table._data_files()) < on_disk_before
+    # head state is untouched
+    assert _rows(table.read_snapshot(spark)) == before_rows
+    # the horizon snapshot is self-contained (rewritten as replace)
+    assert table.manifest()["snapshots"][0]["operation"] == "replace"
+    # time travel before the horizon is gone — that's the contract
+    with pytest.raises(ValueError):
+        table.read_snapshot(spark, snapshot_id=1)
+
+
+def test_expire_keeps_append_chain_above_horizon(spark, tmp_path):
+    """If the horizon snapshot was a plain append, expiry rewrites it to
+    carry its full state — retained reads lose nothing."""
+    table = _table_with_two_appends(spark, tmp_path)
+    c = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(90, 100)], "doc_id string, n int"
+    )
+    table.commit("run-c", {"data_files": table.append_extracted(c)})
+    # keep snapshots 2 and 3 (both appends); snapshot 1's files must survive
+    # because snapshot 2's state includes them
+    table.expire_snapshots(keep_last=2)
+    assert len(_rows(table.read_snapshot(spark))) == 100
+    assert len(_rows(table.read_snapshot(spark, snapshot_id=2))) == 90

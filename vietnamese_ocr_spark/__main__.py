@@ -86,7 +86,39 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--no-repetition", action="store_true")
     cu.add_argument("--no-dedup", action="store_true")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="table maintenance: compact small data files into "
+        "~target-size files (replace snapshot), optionally expire old "
+        "snapshots and reclaim unreferenced files",
+    )
+    mt.add_argument("--out", required=True, help="extract table root dir")
+    mt.add_argument("--target-mb", type=int, default=128)
+    mt.add_argument(
+        "--expire-keep",
+        type=int,
+        default=None,
+        help="after compacting, keep only the last N snapshots and delete "
+        "files nothing retained references",
+    )
+    mt.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "maintain":
+        from .config import get_spark
+        from .sources.tableio import ExtractTable
+
+        spark = get_spark("maintain-cli", master=args.master)
+        try:
+            table = ExtractTable(args.out)
+            result = {"compact": table.compact(spark, target_file_mb=args.target_mb)}
+            if args.expire_keep is not None:
+                result["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
+            print(json.dumps(result))
+        finally:
+            spark.stop()
+        return 0
 
     if args.cmd == "status":
         import duckdb
@@ -185,6 +217,9 @@ def main(argv: list[str] | None = None) -> int:
             curated.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"out": args.out, "stages": stats}))
         finally:
+            from .caching import release_persisted
+
+            release_persisted()  # free the dedup shingle caches
             spark.stop()
         return 0
 

@@ -80,16 +80,28 @@ class ExtractTable:
     def has_data(self) -> bool:
         return bool(self._data_files())
 
+    def _files_as_of(self, snapshot_id: int | None = None) -> list[str]:
+        """Data files visible at `snapshot_id` (default head), honoring
+        replace semantics: an "operation": "replace" snapshot (compaction)
+        carries the COMPLETE file list and supersedes everything before
+        it; plain appends accumulate. Mirrors how an Iceberg snapshot's
+        manifest list fully describes the table state."""
+        files: list[str] = []
+        for s in self.manifest()["snapshots"]:
+            if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+                break
+            if s.get("operation") == "replace":
+                files = list(s.get("data_files", []))
+            else:
+                files.extend(s.get("data_files", []))
+        return [os.path.join(self.extracted_dir, f) for f in files]
+
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame | None:
         """doc_ids already COMMITTED — reads only files recorded in the
         manifest (an orphaned write from a crashed run is invisible, like
         Iceberg's uncommitted data files), and only the doc_id column
         (pruned scan), feeding the resume anti-join (north_rule)."""
-        files = [
-            os.path.join(self.extracted_dir, f)
-            for s in self.manifest()["snapshots"]
-            for f in s.get("data_files", [])
-        ]
+        files = self._files_as_of()
         if not files:
             return None
         return spark.read.parquet(*files).select("doc_id")
@@ -114,14 +126,7 @@ class ExtractTable:
         appends files with an extra column; old files surface it as
         NULL). Off by default — the merged-footer scan reads every file's
         footer, which a fixed-schema read shouldn't pay."""
-        snaps = self.manifest()["snapshots"]
-        if snapshot_id is not None:
-            snaps = [s for s in snaps if s["snapshot_id"] <= snapshot_id]
-        files = [
-            os.path.join(self.extracted_dir, f)
-            for s in snaps
-            for f in s.get("data_files", [])
-        ]
+        files = self._files_as_of(snapshot_id)
         if not files:
             raise ValueError(f"no committed data at snapshot {snapshot_id}")
         reader = spark.read
@@ -131,3 +136,83 @@ class ExtractTable:
 
     def append_lineage(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.lineage_dir)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(
+        self, spark: SparkSession, target_file_mb: int = 128
+    ) -> dict:
+        """Small-file compaction (Iceberg's rewrite_data_files): rewrite
+        the HEAD snapshot's data into ~target_file_mb files and commit the
+        result as a "replace" snapshot carrying the complete new file
+        list. Every incremental extract run appends a few files per
+        partition; at 10^12 docs that becomes millions of small parquet
+        files whose open/footer cost dominates scans — compaction is the
+        maintenance pass that keeps read amortization flat. Old files
+        stay on disk so earlier snapshots still time-travel (run
+        expire_snapshots to reclaim them)."""
+        head = self.current_snapshot()
+        files = self._files_as_of(head)
+        if not files:
+            raise ValueError("nothing to compact: no committed data")
+        total_b = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, round(total_b / (target_file_mb * 1024 * 1024)))
+        df = spark.read.parquet(*files)
+        before = self._data_files()
+        # repartition (not coalesce): coalesce would chain the tiny input
+        # splits into uneven tasks; a compaction job wants evenly-sized
+        # outputs, and pays its one shuffle by design
+        df.repartition(n_out).write.mode("append").parquet(self.extracted_dir)
+        new_files = sorted(self._data_files() - before)
+        snap = self.commit(
+            self.new_run_id(),
+            {
+                "operation": "replace",
+                "data_files": new_files,
+                "compacted_files": len(files),
+                "bytes": total_b,
+            },
+        )
+        return {
+            "snapshot_id": snap,
+            "files_before": len(files),
+            "files_after": len(new_files),
+        }
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's expire_snapshots: drop all but the newest
+        `keep_last` snapshot entries and DELETE data files no longer
+        referenced by any retained snapshot (respecting replace
+        semantics, so a retained appends-after-compaction chain keeps
+        the files it builds on). Time travel before the horizon stops
+        working — that's the contract that makes storage reclaimable."""
+        m = self.manifest()
+        snaps = m["snapshots"]
+        if keep_last < 1 or len(snaps) <= keep_last:
+            return {"expired": 0, "deleted_files": 0}
+        kept = snaps[-keep_last:]
+        # everything any retained snapshot can read (full state per id,
+        # computed BEFORE the manifest is trimmed)
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(self._files_as_of(s["snapshot_id"]))
+        # the oldest kept snapshot must become self-contained: if it was
+        # a plain append, its base files' snapshots are being dropped, so
+        # rewrite it as a "replace" entry carrying its complete state
+        # (exactly how an Iceberg snapshot's manifest list is always
+        # self-describing)
+        horizon_state = sorted(
+            os.path.basename(p) for p in self._files_as_of(kept[0]["snapshot_id"])
+        )
+        kept[0] = {**kept[0], "operation": "replace", "data_files": horizon_state}
+        deleted = 0
+        for f in sorted(self._data_files()):
+            path = os.path.join(self.extracted_dir, f)
+            if path not in referenced:
+                os.remove(path)
+                deleted += 1
+        m["snapshots"] = kept
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh, indent=2)
+        os.replace(tmp, self.manifest_path)
+        return {"expired": len(snaps) - len(kept), "deleted_files": deleted}
