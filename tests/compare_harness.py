@@ -90,7 +90,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     queries = {**queries, **EXTRA_QUERIES}
     oracle = {**{k: v for k, v in ORACLE_SQL.items() if k in EXTRA_QUERIES}, **oracle}
-    spark = get_spark("compare", master="local[8]", shuffle_partitions=8)
+    # COMPARE_PARTS lets the partition-layout-invariance sweep rerun the
+    # whole comparison at an adversarial shuffle_partitions (e.g. 3)
+    parts = int(os.environ.get("COMPARE_PARTS", "8"))
+    spark = get_spark("compare", master="local[8]", shuffle_partitions=parts)
     con = duck_connection(sf_dir)
     failed = []
     names = only or list(queries)

@@ -116,3 +116,36 @@ def test_release_persisted_unpersists_tracked_frames(spark):
     jaccard_candidates(d, threshold=0.1).collect()
     assert release_persisted() >= 1
     assert release_persisted() == 0  # registry drained
+
+
+def test_verify_equals_jaccard_restricted_to_candidates(spark):
+    """verify_jaccard_pairs(docs, pairs) must equal the full
+    jaccard_candidates output intersected with the candidate set — the
+    verification stage changes WHAT gets scored, never the scores.
+    Three seeded random corpora (deterministic)."""
+    import random
+
+    from vietnamese_ocr_spark.operators.dedup import verify_jaccard_pairs
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+            for i in range(30)
+        ]
+        d = _docs(spark, rows)
+        full = {
+            (r["da"], r["db"]): r["jaccard"]
+            for r in jaccard_candidates(d, threshold=0.25, max_shingle_df=None).collect()
+        }
+        # candidates: an arbitrary subset of potential pairs incl. some
+        # non-overlapping ones (which must score nothing)
+        cand = [(a, b) for a in range(0, 30, 3) for b in range(a + 1, 30, 7)]
+        cand_df = spark.createDataFrame(cand, "da bigint, db bigint")
+        got = {
+            (r["da"], r["db"]): r["jaccard"]
+            for r in verify_jaccard_pairs(d, cand_df, threshold=0.25).collect()
+        }
+        want = {p: j for p, j in full.items() if p in set(cand)}
+        assert got == want, f"seed {seed}"

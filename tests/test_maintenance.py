@@ -92,3 +92,8 @@ def test_expire_keeps_append_chain_above_horizon(spark, tmp_path):
     table.expire_snapshots(keep_last=2)
     assert len(_rows(table.read_snapshot(spark))) == 100
     assert len(_rows(table.read_snapshot(spark, snapshot_id=2))) == 90
+
+
+def test_compact_empty_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        ExtractTable(str(tmp_path / "empty")).compact(spark)

@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--no-repetition", action="store_true")
     cu.add_argument("--no-dedup", action="store_true")
 
+    xp = sub.add_parser(
+        "explain",
+        help="print a registered query's formatted physical plan (the "
+        "plan-shape review surface: pushdown, joins, codegen spans)",
+    )
+    xp.add_argument("--query", required=True, help="name from queries()/EXTRA_QUERIES")
+    xp.add_argument("--sf", default="/root/testdata/sf0.001", help="sf table dir")
+    xp.add_argument("--master", default="local[4]")
+
     mt = sub.add_parser(
         "maintain",
         help="table maintenance: compact small data files into "
@@ -104,6 +113,31 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "explain":
+        from .config import get_spark
+        from .plans.queries import EXTRA_QUERIES, QUERIES
+
+        registry = {**QUERIES, **EXTRA_QUERIES}
+        if args.query not in registry:
+            print(
+                f"unknown query {args.query!r}; choices: {', '.join(sorted(registry))}",
+                file=sys.stderr,
+            )
+            return 1
+        spark = get_spark("explain-cli", master=args.master)
+        try:
+            df = registry[args.query](spark, args.sf)
+            print(
+                df._jdf.queryExecution().explainString(  # noqa: SLF001
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+            )
+        finally:
+            spark.stop()
+        return 0
 
     if args.cmd == "maintain":
         from .config import get_spark

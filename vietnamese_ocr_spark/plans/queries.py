@@ -477,6 +477,12 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_dedup_minhash_sig_fast(spark, sf):
+    """The universal-affine fast signatures directly (not only inside
+    the pipeline): one md5 per shingle, k=8 multiply-add-mod perms."""
+    return dedup.minhash_signatures_fast(t(spark, sf, "documents"), k=8)
+
+
 def q_dedup_minhash_pipeline(spark, sf):
     """The composed banded near-dup pass as a 100-TB dedup actually
     runs: fast MinHash signatures (8 perms, universal affine family) ->
@@ -1521,6 +1527,41 @@ def _minhash_pipeline_oracle(
 
 ORACLE_SQL["dedup_minhash_pipeline"] = _minhash_pipeline_oracle()
 
+
+def _minhash_fast_sig_oracle(k: int = 8) -> str:
+    """SQL mirror of minhash_signatures_fast — constants imported from
+    the operator so the two sides cannot drift."""
+    from ..operators.dedup import MH_A, MH_B, MH_PRIME
+
+    mh = ",\n               ".join(
+        f"coalesce(list_min(list_transform(hv, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_PRIME})),"
+        f" ({MH_A[j]} * ht + {MH_B[j]}) % {MH_PRIME}) as mh{j}"
+        for j in range(k)
+    )
+    return f"""
+        with sh0 as (
+          select doc_id, text,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        hsh as (
+          select doc_id,
+                 list_transform(shingles,
+                                s -> ('0x' || substr(md5(s), 1, 7))::bigint) as hv,
+                 ('0x' || substr(md5(text), 1, 7))::bigint as ht
+          from sh0)
+        select doc_id,
+               {mh}
+        from hsh
+    """
+
+
+ORACLE_SQL["dedup_minhash_sig_fast"] = _minhash_fast_sig_oracle()
+
 # Multi-probe IVF recall@k vs brute force: assignment/probing mirror the
 # similarity_ivf_topk oracle (dot argmax, round-9, cid tiebreak), recall
 # = |approx top-k ∩ exact top-k| / k.
@@ -1658,4 +1699,5 @@ EXTRA_QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_kmeans_codebook": q_similarity_kmeans_codebook,
     "dedup_minhash_bands": q_dedup_minhash_bands,
+    "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
 }
