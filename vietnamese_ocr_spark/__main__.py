@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--no-repetition", action="store_true")
     cu.add_argument("--no-dedup", action="store_true")
 
+    ag = sub.add_parser(
+        "augment",
+        help="P6 training-augmentation pass over a media table "
+        "(deterministic keyed chain; writes augmented PNGs + ops audit)",
+    )
+    ag.add_argument("--media", required=True, help="parquet with (media_ref, png)")
+    ag.add_argument("--out", required=True, help="augmented parquet output dir")
+    ag.add_argument("--seed", type=int, default=42)
+    ag.add_argument("--master", default=None)
+
     xp = sub.add_parser(
         "explain",
         help="print a registered query's formatted physical plan (the "
@@ -113,6 +123,20 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "augment":
+        from .config import get_spark
+        from .operators.augment_stage import augment_media
+
+        spark = get_spark("augment-cli", master=args.master)
+        try:
+            out = augment_media(spark.read.parquet(args.media), seed=args.seed)
+            out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+            print(json.dumps({"out": args.out, "augmented": n, "seed": args.seed}))
+        finally:
+            spark.stop()
+        return 0
 
     if args.cmd == "explain":
         from .config import get_spark
