@@ -242,22 +242,52 @@ def _mh_base_hash(col):
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
 
 
+# Rolling shingle-hash multipliers: shingle hash = (w0*MH_P2 + w1*MH_P1
+# + w2) mod MH_PRIME over the three word hashes — the polynomial rolling
+# form (Karp-Rabin / winnowing), so each WORD is md5'd once and shingle
+# hashes are pure arithmetic: no 3-word strings are ever built and no
+# per-shingle digest runs. MH_P2 = MH_P1^2 mod MH_PRIME keeps the unroll
+# consistent with a left-fold h = (h*MH_P1 + w) mod P.
+MH_P1 = 1_000_003
+MH_P2 = (MH_P1 * MH_P1) % MH_PRIME
+
+
 def minhash_signatures_fast(
     docs: DataFrame, k: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """k MinHash values per doc via the universal affine family — one
-    md5 per shingle + k multiply-add-mods, vs minhash_signatures' k
-    md5s per shingle (kept as the didactic exact-mirror form). The
-    base-hash array is materialized in its own projection first so
-    codegen computes each digest once, not once per permutation
-    (the add_shingles CSE lesson). Docs with no shingles fall back to
+    """k MinHash values per doc via the universal affine family over
+    ROLLING shingle hashes — one md5 per WORD (not per shingle, and
+    never k per shingle like minhash_signatures, which stays as the
+    didactic exact-mirror form), then per-shingle polynomial combine
+    and k multiply-add-mod permutations, all pure arithmetic inside one
+    codegen'd projection. The word-hash array is materialized in its
+    own projection first so codegen computes each digest once (the
+    add_shingles CSE lesson). Docs with < shingle_n words fall back to
     the full-text hash. Pure projection: zero shuffle."""
     if k > len(MH_A):
         raise ValueError(f"k={k} exceeds the {len(MH_A)} fixed permutations")
-    sh = add_shingles(_spread(docs), shingle_n)
-    hashed = sh.select(
+    if shingle_n != 3:
+        raise ValueError("rolling combine is unrolled for shingle_n=3")
+    w = _spread(docs).select(
         "doc_id",
-        F.transform("shingles", lambda s: _mh_base_hash(s)).alias("_hs"),
+        "text",
+        F.transform(_words(), lambda x: _mh_base_hash(x)).alias("_wh"),
+    )
+    size = F.size("_wh")
+
+    def _roll(i):
+        return (
+            F.element_at("_wh", i.cast("int")) * F.lit(MH_P2)
+            + F.element_at("_wh", (i + 1).cast("int")) * F.lit(MH_P1)
+            + F.element_at("_wh", (i + 2).cast("int"))
+        ) % F.lit(MH_PRIME)
+
+    hs = F.when(
+        size >= 3, F.transform(F.sequence(F.lit(1), size - 2), _roll)
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = w.select(
+        "doc_id",
+        hs.alias("_hs"),
         _mh_base_hash(F.col("text")).alias("_ht"),
     )
     def _affine(j: int):

@@ -1449,6 +1449,41 @@ def _pii_oracle() -> str:
 ORACLE_SQL["pii_redaction"] = _pii_oracle()
 
 
+# Shared DuckDB mirror of minhash_signatures_fast's rolling shingle
+# hashes: one md5 per WORD, per-shingle polynomial combine
+# (w0*P2 + w1*P1 + w2) mod PRIME — constants imported from the operator
+# so the two sides cannot drift. Docs with < 3 words get an empty hv
+# and fall back to the full-text hash (ht), exactly like the operator.
+def _fast_sig_hsh_cte() -> str:
+    from ..operators.dedup import MH_P1, MH_P2, MH_PRIME
+
+    return f"""hsh as (
+          select doc_id,
+                 case when len(wh) >= 3
+                      then list_transform(range(1, len(wh) - 1),
+                           i -> (wh[i] * {MH_P2} + wh[i+1] * {MH_P1} + wh[i+2])
+                                % {MH_PRIME})
+                      else [] end as hv,
+                 ('0x' || substr(md5(text), 1, 7))::bigint as ht
+          from (select doc_id, text,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substr(md5(w), 1, 7))::bigint) as wh
+                from documents))"""
+
+
+_FAST_SIG_HSH_CTE = _fast_sig_hsh_cte()
+
+
+def _mh_sig_exprs(k: int) -> str:
+    from ..operators.dedup import MH_A, MH_B, MH_PRIME
+
+    return ",\n               ".join(
+        f"coalesce(list_min(list_transform(hv, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_PRIME})),"
+        f" ({MH_A[j]} * ht + {MH_B[j]}) % {MH_PRIME}) as mh{j}"
+        for j in range(k)
+    )
+
+
 def _minhash_pipeline_oracle(
     k: int = 8, rows_per_band: int = 2, cap: int = 1000, threshold: float = 0.2
 ) -> str:
@@ -1457,13 +1492,7 @@ def _minhash_pipeline_oracle(
     candidate pairs -> exact Jaccard verify (sizes over candidate docs'
     FULL shingle sets) -> recursive min-label walk. The A/B/P constants
     are imported from the operator so the two sides cannot drift."""
-    from ..operators.dedup import MH_A, MH_B, MH_PRIME
-
-    mh = ",\n               ".join(
-        f"coalesce(list_min(list_transform(hv, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_PRIME})),"
-        f" ({MH_A[j]} * ht + {MH_B[j]}) % {MH_PRIME}) as mh{j}"
-        for j in range(k)
-    )
+    mh = _mh_sig_exprs(k)
     lst = ", ".join(
         " || ':' || ".join(
             f"mh{j * rows_per_band + r}::varchar" for r in range(rows_per_band)
@@ -1480,12 +1509,7 @@ def _minhash_pipeline_oracle(
                                 string_split(text, ' ')[i+2])
                       else [] end as shingles
           from documents),
-        hsh as (
-          select doc_id,
-                 list_transform(shingles,
-                                s -> ('0x' || substr(md5(s), 1, 7))::bigint) as hv,
-                 ('0x' || substr(md5(text), 1, 7))::bigint as ht
-          from sh0),
+        {_FAST_SIG_HSH_CTE},
         sig as (select doc_id,
                {mh}
           from hsh),
@@ -1529,33 +1553,13 @@ ORACLE_SQL["dedup_minhash_pipeline"] = _minhash_pipeline_oracle()
 
 
 def _minhash_fast_sig_oracle(k: int = 8) -> str:
-    """SQL mirror of minhash_signatures_fast — constants imported from
-    the operator so the two sides cannot drift."""
-    from ..operators.dedup import MH_A, MH_B, MH_PRIME
-
-    mh = ",\n               ".join(
-        f"coalesce(list_min(list_transform(hv, h -> ({MH_A[j]} * h + {MH_B[j]}) % {MH_PRIME})),"
-        f" ({MH_A[j]} * ht + {MH_B[j]}) % {MH_PRIME}) as mh{j}"
-        for j in range(k)
-    )
+    """SQL mirror of minhash_signatures_fast (rolling word-hash form) —
+    constants imported from the operator so the two sides cannot
+    drift."""
     return f"""
-        with sh0 as (
-          select doc_id, text,
-                 case when len(string_split(text, ' ')) >= 3
-                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
-                           i -> string_split(text, ' ')[i] || ' ' ||
-                                string_split(text, ' ')[i+1] || ' ' ||
-                                string_split(text, ' ')[i+2])
-                      else [] end as shingles
-          from documents),
-        hsh as (
-          select doc_id,
-                 list_transform(shingles,
-                                s -> ('0x' || substr(md5(s), 1, 7))::bigint) as hv,
-                 ('0x' || substr(md5(text), 1, 7))::bigint as ht
-          from sh0)
+        with {_FAST_SIG_HSH_CTE}
         select doc_id,
-               {mh}
+               {_mh_sig_exprs(k)}
         from hsh
     """
 
