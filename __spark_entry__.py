@@ -103,6 +103,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ship_package(spark)  # no-op after the first call per context
+        # the driver runs all 50 queries in one session: release the
+        # previous query's operator-internal caches (shingle sets, band
+        # tables) so they never accumulate across the sweep
+        from vietnamese_ocr_spark.caching import release_persisted
+
+        release_persisted()
         return fn(spark, sf_dir)
 
     return run

@@ -477,6 +477,42 @@ def q_dedup_components(spark, sf):
     return connected_components(pairs)
 
 
+def q_source_profile(spark, sf):
+    """Per-source curation dashboard: volume, length, language spread,
+    exact-dup rate (over md5 digests, never raw text) — the 'which
+    sources do we keep' step of corpus curation. One map-side-combined
+    groupBy."""
+    d = t(spark, sf, "documents")
+    uniq = F.count_distinct(F.md5("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        uniq.alias("n_unique_texts"),
+        F.round(F.lit(1.0) - uniq / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+def q_char_entropy(spark, sf):
+    """Per-doc Shannon character entropy (bits) — the cheap gibberish /
+    encoding-noise detector quality pipelines run alongside lang_id.
+    Both aggregations are map-side combinable; text never shuffles
+    (only (doc_id, char, count) partials)."""
+    d = t(spark, sf, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.length("c") > 0)
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
+
+
 def q_dedup_minhash_sig_fast(spark, sf):
     """The universal-affine fast signatures directly (not only inside
     the pipeline): one md5 per shingle, k=8 multiply-add-mod perms."""
@@ -1566,6 +1602,30 @@ def _minhash_fast_sig_oracle(k: int = 8) -> str:
 
 ORACLE_SQL["dedup_minhash_sig_fast"] = _minhash_fast_sig_oracle()
 
+ORACLE_SQL["source_profile"] = """
+        select source,
+               count(*)::bigint as n_docs,
+               sum(n_chars)::bigint as total_chars,
+               round(avg(n_chars), 6) as mean_chars,
+               count(distinct lang)::bigint as n_langs,
+               count(distinct md5(text))::bigint as n_unique_texts,
+               round(1.0 - count(distinct md5(text)) / count(*), 6) as dup_rate
+        from documents group by source
+    """
+
+ORACLE_SQL["char_entropy"] = """
+        with chars as (
+          select doc_id, unnest(string_split(text, '')) as c from documents),
+        counts as (
+          select doc_id, c, count(*)::double as n from chars
+          where len(c) > 0 group by doc_id, c),
+        tot as (select doc_id, sum(n) as tot from counts group by doc_id)
+        select doc_id,
+               round(-sum((n / tot) * log2(n / tot)), 6) as entropy_bits
+        from counts join tot using (doc_id)
+        group by doc_id
+    """
+
 # Multi-probe IVF recall@k vs brute force: assignment/probing mirror the
 # similarity_ivf_topk oracle (dot argmax, round-9, cid tiebreak), recall
 # = |approx top-k ∩ exact top-k| / k.
@@ -1704,4 +1764,6 @@ EXTRA_QUERIES = {
     "similarity_kmeans_codebook": q_similarity_kmeans_codebook,
     "dedup_minhash_bands": q_dedup_minhash_bands,
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
+    "source_profile": q_source_profile,
+    "char_entropy": q_char_entropy,
 }
