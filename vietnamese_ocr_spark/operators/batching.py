@@ -1,6 +1,6 @@
 """B4 pad-to-max-in-batch: the training collate step as a distributed
-operator (reference src/model/trainer.py batch assembly: images in a
-batch are padded to the batch's max width before stacking).
+operator (reference src/utils/dataloader.py:53-66 collate: batch
+members are right-padded to the batch max before stacking).
 
 The inference path pads to a fixed 64x256 canvas (P4), so B4 was
 previously covered only by pad-cell ACCOUNTING (queries.q_batch_slices).

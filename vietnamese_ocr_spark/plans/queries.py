@@ -513,6 +513,24 @@ def q_char_entropy(spark, sf):
     )
 
 
+def q_top_ngrams(spark, sf):
+    """Corpus-level top-50 word 3-grams by document frequency — the
+    boilerplate-discovery / corpus-stats pass that feeds hot-shingle
+    caps and contamination lists. Shuffle carries (gram, partial count)
+    after map-side combine; the global top-k is a TakeOrdered (no full
+    sort). Ties break lexicographically for cross-engine determinism."""
+    sh = dedup.add_shingles(t(spark, sf, "documents"), 3)
+    grams = sh.select(
+        "doc_id", F.explode_outer("shingles").alias("g")
+    ).filter(F.col("g").isNotNull()).distinct()
+    return (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("g"))
+        .limit(50)
+    )
+
+
 def q_dedup_minhash_sig_fast(spark, sf):
     """The universal-affine fast signatures directly (not only inside
     the pipeline): one md5 per shingle, k=8 multiply-add-mod perms."""
@@ -1613,6 +1631,23 @@ ORACLE_SQL["source_profile"] = """
         from documents group by source
     """
 
+ORACLE_SQL["top_ngrams"] = """
+        with sh0 as (
+          select doc_id,
+                 case when len(string_split(text, ' ')) >= 3
+                      then list_transform(range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                      else [] end as shingles
+          from documents),
+        grams as (select distinct doc_id, unnest(shingles) as g from sh0)
+        select g, count(*)::bigint as df
+        from grams group by g
+        order by df desc, g
+        limit 50
+    """
+
 ORACLE_SQL["char_entropy"] = """
         with chars as (
           select doc_id, unnest(string_split(text, '')) as c from documents),
@@ -1766,4 +1801,5 @@ EXTRA_QUERIES = {
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "source_profile": q_source_profile,
     "char_entropy": q_char_entropy,
+    "top_ngrams": q_top_ngrams,
 }
