@@ -10,8 +10,11 @@ Design for 10^12 rows:
   * jaccard: candidate pairs from the shared-shingle join with hot
     shingles frequency-capped first, never an all-pairs cross join.
 
-Cross-engine determinism: every hash is md5 (identical in Spark & DuckDB),
-never the engines' internal hash() (which differ).
+Cross-engine determinism: every hash is rooted in md5 (identical in
+Spark & DuckDB) — either directly, or as the 28-bit base of the
+universal affine / rolling polynomial families (constants below, which
+the DuckDB oracles import) — never the engines' internal hash()
+(which differ).
 """
 
 from __future__ import annotations
