@@ -97,3 +97,45 @@ def test_expire_keeps_append_chain_above_horizon(spark, tmp_path):
 def test_compact_empty_table_raises(spark, tmp_path):
     with pytest.raises(ValueError):
         ExtractTable(str(tmp_path / "empty")).compact(spark)
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Additive schema evolution + compaction: the rewritten files must
+    carry the union schema (old rows surface the new column as NULL) —
+    a plain non-mergeSchema rewrite would silently drop it."""
+    table = ExtractTable(str(tmp_path / "tbl"))
+    a = spark.createDataFrame(
+        [(f"doc-{i:04d}", i) for i in range(30)], "doc_id string, n int"
+    )
+    b = spark.createDataFrame(
+        [(f"doc-{i:04d}", i, f"v{i}") for i in range(30, 50)],
+        "doc_id string, n int, extra string",
+    )
+    table.commit("run-a", {"data_files": table.append_extracted(a)})
+    table.commit("run-b", {"data_files": table.append_extracted(b)})
+    table.compact(spark, target_file_mb=128)
+    head = table.read_snapshot(spark)
+    assert "extra" in head.columns
+    rows = {r["doc_id"]: r["extra"] for r in head.collect()}
+    assert len(rows) == 50
+    assert rows["doc-0000"] is None and rows["doc-0049"] == "v49"
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    delta = table.read_changes(spark, since_snapshot=1)
+    ids = {r["doc_id"] for r in delta.collect()}
+    assert ids == {f"doc-{i:04d}" for i in range(50, 90)}  # run-b only
+    assert table.read_changes(spark, since_snapshot=2).count() == 0
+
+
+def test_read_changes_refuses_to_cross_compaction(spark, tmp_path):
+    table = _table_with_two_appends(spark, tmp_path)
+    table.compact(spark, target_file_mb=128)
+    with pytest.raises(ValueError):
+        table.read_changes(spark, since_snapshot=1)
+    # but reading since the replace snapshot works (appends after it)
+    c = spark.createDataFrame([("doc-0099", 99)], "doc_id string, n int")
+    table.commit("run-c", {"data_files": table.append_extracted(c)})
+    ids = {r["doc_id"] for r in table.read_changes(spark, since_snapshot=3).collect()}
+    assert ids == {"doc-0099"}

@@ -137,6 +137,41 @@ class ExtractTable:
     def append_lineage(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.lineage_dir)
 
+    def read_changes(
+        self, spark: SparkSession, since_snapshot: int,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Incremental scan (Iceberg's incremental append scan): rows
+        APPENDED strictly after `since_snapshot`, i.e. the data files of
+        later append snapshots only — what a downstream incremental
+        consumer (index refresh, CDC-ish export) reads instead of
+        re-scanning the table. Raises on a replace (compaction) snapshot
+        inside the range: a rewrite has no well-defined append delta, so
+        consumers must either catch up from before it via time travel or
+        restart from the compacted state — the same contract Iceberg's
+        incremental scan enforces."""
+        snaps = [
+            s for s in self.manifest()["snapshots"]
+            if s["snapshot_id"] > since_snapshot
+        ]
+        if any(s.get("operation") == "replace" for s in snaps):
+            raise ValueError(
+                f"incremental read across a replace snapshot: range after "
+                f"{since_snapshot} contains a compaction; re-baseline from "
+                f"the replace snapshot instead"
+            )
+        files = [
+            os.path.join(self.extracted_dir, f)
+            for s in snaps
+            for f in s.get("data_files", [])
+        ]
+        if not files:
+            return self.read_snapshot(spark).limit(0)  # empty, same schema
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+
     # -- maintenance ---------------------------------------------------------
     def compact(
         self, spark: SparkSession, target_file_mb: int = 128
@@ -156,7 +191,12 @@ class ExtractTable:
             raise ValueError("nothing to compact: no committed data")
         total_b = sum(os.path.getsize(f) for f in files)
         n_out = max(1, round(total_b / (target_file_mb * 1024 * 1024)))
-        df = spark.read.parquet(*files)
+        # mergeSchema: the head may span files written under different
+        # (additively evolved) schemas; a plain read would pick one
+        # footer's schema and silently DROP evolved columns from the
+        # rewritten files. Compaction is a one-off maintenance job, so
+        # the merged-footer scan cost is the right trade.
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
         before = self._data_files()
         # repartition (not coalesce): coalesce would chain the tiny input
         # splits into uneven tasks; a compaction job wants evenly-sized
