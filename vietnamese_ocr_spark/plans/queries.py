@@ -513,6 +513,24 @@ def q_char_entropy(spark, sf):
     )
 
 
+def q_dup_cluster_sizes(spark, sf):
+    """Duplicate-cluster size histogram — the post-clustering analytic
+    that says whether dup mass is isolated pairs or giant boilerplate
+    blobs (what you check before deciding canonical-keep vs drop-all).
+    Two map-side-combined aggregations over the (doc_id, component)
+    labels."""
+    from ..operators.components import connected_components
+
+    pairs = dedup.jaccard_candidates(t(spark, sf, "documents"), threshold=0.2)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 def q_top_ngrams(spark, sf):
     """Corpus-level top-50 word 3-grams by document frequency — the
     boilerplate-discovery / corpus-stats pass that feeds hot-shingle
@@ -1631,6 +1649,16 @@ ORACLE_SQL["source_profile"] = """
         from documents group by source
     """
 
+ORACLE_SQL["dup_cluster_sizes"] = f"""
+        with recursive {_COMPONENTS_CTE},
+        comp as (select n, min(m) as component from walk group by n),
+        csizes as (select component, count(*) as cluster_size
+                   from comp group by component)
+        select cluster_size::bigint as cluster_size,
+               count(*)::bigint as n_clusters
+        from csizes group by cluster_size
+    """
+
 ORACLE_SQL["top_ngrams"] = """
         with sh0 as (
           select doc_id,
@@ -1802,4 +1830,5 @@ EXTRA_QUERIES = {
     "source_profile": q_source_profile,
     "char_entropy": q_char_entropy,
     "top_ngrams": q_top_ngrams,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
 }
