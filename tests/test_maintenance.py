@@ -139,3 +139,33 @@ def test_read_changes_refuses_to_cross_compaction(spark, tmp_path):
     table.commit("run-c", {"data_files": table.append_extracted(c)})
     ids = {r["doc_id"] for r in table.read_changes(spark, since_snapshot=3).collect()}
     assert ids == {"doc-0099"}
+
+
+def test_optimistic_concurrency_rejects_stale_commit(spark, tmp_path):
+    """Iceberg-style commit model: a writer that based its work on an
+    older head must NOT commit; its already-written files stay orphaned
+    and invisible, and a resume re-run completes the remainder."""
+    from vietnamese_ocr_spark.sources.tableio import ConcurrentCommitError
+
+    root = str(tmp_path / "tbl")
+    writer_a, writer_b = ExtractTable(root), ExtractTable(root)
+    base = writer_a.current_snapshot()
+
+    df_b = spark.createDataFrame([("doc-b", 1)], "doc_id string, n int")
+    writer_b.commit("run-b", {"data_files": writer_b.append_extracted(df_b)},
+                    expect_snapshot=base)
+
+    df_a = spark.createDataFrame([("doc-a", 2)], "doc_id string, n int")
+    files_a = writer_a.append_extracted(df_a)
+    with pytest.raises(ConcurrentCommitError):
+        writer_a.commit("run-a", {"data_files": files_a}, expect_snapshot=base)
+
+    # the loser's files are orphaned-invisible: reads see only run-b
+    ids = {r["doc_id"] for r in writer_a.read_snapshot(spark).collect()}
+    assert ids == {"doc-b"}
+    assert {r["doc_id"] for r in writer_a.committed_doc_ids(spark).collect()} == {"doc-b"}
+    # retry against the new head succeeds
+    writer_a.commit("run-a2", {"data_files": files_a},
+                    expect_snapshot=writer_a.current_snapshot())
+    ids = {r["doc_id"] for r in writer_a.read_snapshot(spark).collect()}
+    assert ids == {"doc-a", "doc-b"}

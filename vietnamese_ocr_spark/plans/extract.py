@@ -252,6 +252,11 @@ def run_extract_frames(
                 # in the manifest are readable; a crashed run's orphans
                 # are invisible and re-done on resume
             },
+            # optimistic concurrency: commit only onto the head this run
+            # planned against; a concurrent writer raises
+            # ConcurrentCommitError, our files stay orphaned-invisible,
+            # and a re-run resumes via the committed-doc anti-join
+            expect_snapshot=snapshot_id - 1,
         )
         n_docs = table.read_snapshot(spark, committed).select("doc_id").count()
     finally:

@@ -29,6 +29,12 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this writer read the table head
+    (optimistic concurrency, Iceberg-style). Retry: re-read the head,
+    anti-join committed work, commit the remainder."""
+
+
 class ExtractTable:
     """An output 'table' rooted at a directory: extracted/ lineage/ manifest.json."""
 
@@ -48,9 +54,25 @@ class ExtractTable:
     def new_run_id(self) -> str:
         return uuid.uuid4().hex[:12]
 
-    def commit(self, run_id: str, stats: dict) -> int:
-        """Append a snapshot entry; returns the new snapshot id."""
+    def commit(self, run_id: str, stats: dict,
+               expect_snapshot: int | None = None) -> int:
+        """Append a snapshot entry; returns the new snapshot id.
+
+        `expect_snapshot` is optimistic concurrency control (Iceberg's
+        commit model): the commit succeeds only if the table head is
+        still the snapshot the writer based its work on; otherwise
+        ConcurrentCommitError — the loser's already-written data files
+        stay orphaned and INVISIBLE (never in any manifest), so a retry
+        re-reads the new head and re-runs only the remaining work via
+        the resume anti-join. No locks, no torn manifests (os.replace
+        is atomic)."""
         m = self.manifest()
+        head = m["snapshots"][-1]["snapshot_id"] if m["snapshots"] else 0
+        if expect_snapshot is not None and head != expect_snapshot:
+            raise ConcurrentCommitError(
+                f"table advanced to snapshot {head} (expected {expect_snapshot}); "
+                f"re-read and retry"
+            )
         snap_id = len(m["snapshots"]) + 1
         m["snapshots"].append(
             {
