@@ -169,3 +169,17 @@ def test_optimistic_concurrency_rejects_stale_commit(spark, tmp_path):
                     expect_snapshot=writer_a.current_snapshot())
     ids = {r["doc_id"] for r in writer_a.read_snapshot(spark).collect()}
     assert ids == {"doc-a", "doc-b"}
+
+
+def test_snapshot_ids_stay_monotone_after_expiry(spark, tmp_path):
+    """Expiry trims manifest ENTRIES, never the id sequence: the next
+    commit after expiring must advance past the old head, or time
+    travel and resume ordering break."""
+    table = _table_with_two_appends(spark, tmp_path)  # snapshots 1, 2
+    table.compact(spark, target_file_mb=128)          # snapshot 3
+    table.expire_snapshots(keep_last=1)               # keeps only id 3
+    c = spark.createDataFrame([("doc-0099", 99)], "doc_id string, n int")
+    new_id = table.commit("run-c", {"data_files": table.append_extracted(c)})
+    assert new_id == 4
+    assert len(_rows(table.read_snapshot(spark))) == 91
+    assert len(_rows(table.read_snapshot(spark, snapshot_id=3))) == 90

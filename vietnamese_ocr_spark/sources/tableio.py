@@ -73,7 +73,10 @@ class ExtractTable:
                 f"table advanced to snapshot {head} (expected {expect_snapshot}); "
                 f"re-read and retry"
             )
-        snap_id = len(m["snapshots"]) + 1
+        # head + 1, NOT len(snapshots) + 1: expire_snapshots trims old
+        # manifest entries, and ids must stay monotone across expiry or
+        # time travel and resume ordering break
+        snap_id = head + 1
         m["snapshots"].append(
             {
                 "snapshot_id": snap_id,
