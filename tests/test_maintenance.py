@@ -183,3 +183,25 @@ def test_snapshot_ids_stay_monotone_after_expiry(spark, tmp_path):
     assert new_id == 4
     assert len(_rows(table.read_snapshot(spark))) == 91
     assert len(_rows(table.read_snapshot(spark, snapshot_id=3))) == 90
+
+
+def test_full_lifecycle_extract_compact_expire_resume(spark, corpus, tmp_path):
+    """The whole table lifecycle the CLI chains: extract -> compact ->
+    expire -> re-extract resumes as a no-op with monotone snapshot ids
+    and the identical document set."""
+    from vietnamese_ocr_spark.plans.extract import run_extract_frames
+
+    docs = spark.read.parquet(corpus["documents"]).filter(
+        "doc_id < 'doc-00000040'"
+    )
+    media = spark.read.parquet(corpus["media"])
+    out = str(tmp_path / "tbl")
+    r1 = run_extract_frames(spark, docs, media, out)
+    table = ExtractTable(out)
+    table.compact(spark, target_file_mb=64)
+    table.expire_snapshots(keep_last=1)
+    r2 = run_extract_frames(spark, docs, media, out)  # resume: no new docs
+    assert r2["total_docs"] == r1["total_docs"]
+    assert r2["snapshot_id"] > r1["snapshot_id"]
+    ids = {r["doc_id"] for r in table.read_snapshot(spark).select("doc_id").collect()}
+    assert len(ids) == r1["total_docs"]
