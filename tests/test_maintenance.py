@@ -205,3 +205,168 @@ def test_full_lifecycle_extract_compact_expire_resume(spark, corpus, tmp_path):
     assert r2["snapshot_id"] > r1["snapshot_id"]
     ids = {r["doc_id"] for r in table.read_snapshot(spark).select("doc_id").collect()}
     assert len(ids) == r1["total_docs"]
+
+
+# -- multi-writer contract (round-4: the 100-TB story needs these) ----------
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def test_compact_loses_to_concurrent_append_losslessly(spark, tmp_path, monkeypatch):
+    """Interleave: compact() reads the head, then an append commits, then
+    compact tries its replace commit. The replace MUST fail (it would
+    silently swallow the append's rows), the table must stay lossless,
+    and a retry must compact everything including the concurrent row."""
+    table = _table_with_two_appends(spark, tmp_path)
+    other = ExtractTable(table.root)
+    orig_commit = ExtractTable.commit
+    state = {"armed": True}
+
+    def inject(self, run_id, stats, expect_snapshot=None):
+        if state["armed"] and stats.get("operation") == "replace":
+            state["armed"] = False  # the injected append commits normally
+            c = spark.createDataFrame([("doc-conc", 999)], "doc_id string, n int")
+            other.commit("run-conc", {"data_files": other.append_extracted(c)})
+        return orig_commit(self, run_id, stats, expect_snapshot=expect_snapshot)
+
+    monkeypatch.setattr(ExtractTable, "commit", inject)
+    from vietnamese_ocr_spark.sources.tableio import ConcurrentCommitError
+
+    with pytest.raises(ConcurrentCommitError):
+        table.compact(spark, target_file_mb=128)
+    # lossless: both original appends AND the concurrent append are visible
+    rows = _rows(table.read_snapshot(spark))
+    assert len(rows) == 91 and ("doc-conc", 999) in rows
+    # retry against the new head succeeds and preserves every row
+    result = table.compact(spark, target_file_mb=128)
+    assert result["files_after"] < result["files_before"]
+    assert _rows(table.read_snapshot(spark)) == rows
+
+
+def test_commit_cas_exactly_one_winner_under_contention(tmp_path):
+    """N writers race commits against the same expected head: exactly one
+    wins, the rest get ConcurrentCommitError, and the manifest gains
+    exactly one snapshot (the old read-check-replace could silently
+    discard a committed snapshot under this interleaving)."""
+    import threading
+
+    from vietnamese_ocr_spark.sources.tableio import ConcurrentCommitError
+
+    table = ExtractTable(str(tmp_path / "tbl"))
+    base = table.current_snapshot()
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(i: int) -> None:
+        try:
+            ExtractTable(table.root).commit(
+                f"run-{i}", {"data_files": []}, expect_snapshot=base
+            )
+            with lock:
+                outcomes.append("win")
+        except ConcurrentCommitError:
+            with lock:
+                outcomes.append("lose")
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("win") == 1 and outcomes.count("lose") == 7
+    assert len(table.manifest()["snapshots"]) == 1
+
+
+def test_expire_leaves_unknown_orphans_for_retry(spark, tmp_path):
+    """expire_snapshots reclaims only files its OWN expired snapshots
+    reference. The orphans of an OCC-losing writer (whose retry path
+    re-commits those very files) must survive an expiry that runs in
+    between — the round-3 behavior deleted them out from under the
+    pending retry."""
+    table = _table_with_two_appends(spark, tmp_path)
+    # a writer loses the race: files written, commit never landed
+    orphan_df = spark.createDataFrame([("doc-orphan", 7)], "doc_id string, n int")
+    orphan_files = table.append_extracted(orphan_df)
+
+    table.compact(spark, target_file_mb=128)
+    table.expire_snapshots(keep_last=1)
+
+    for f in orphan_files:
+        assert __import__("os").path.exists(
+            __import__("os").path.join(table.extracted_dir, f)
+        ), "expiry deleted a pending writer's orphan"
+    # the documented retry path still works: re-commit the same files
+    table.commit("run-retry", {"data_files": orphan_files},
+                 expect_snapshot=table.current_snapshot())
+    ids = {r["doc_id"] for r in table.read_snapshot(spark).collect()}
+    assert "doc-orphan" in ids and len(ids) == 91
+
+
+def test_remove_orphans_is_age_gated(spark, tmp_path):
+    """Orphan cleanup is a separate, age-gated pass: young orphans (a
+    possibly in-flight writer) survive; old ones are reclaimed."""
+    import os as _os
+
+    table = _table_with_two_appends(spark, tmp_path)
+    orphan_df = spark.createDataFrame([("doc-orphan", 7)], "doc_id string, n int")
+    orphan_files = table.append_extracted(orphan_df)
+    paths = [_os.path.join(table.extracted_dir, f) for f in orphan_files]
+
+    assert table.remove_orphans()["deleted_files"] == 0  # too young
+    for p in paths:
+        assert _os.path.exists(p)
+
+    old = __import__("time").time() - 10 * 86400
+    for p in paths:
+        _os.utime(p, (old, old))
+    assert table.remove_orphans()["deleted_files"] == len(paths)
+    for p in paths:
+        assert not _os.path.exists(p)
+    # committed data is never touched regardless of age
+    assert len(_rows(table.read_snapshot(spark))) == 90
+
+
+def test_occ_loser_leaves_no_lineage(spark, corpus, tmp_path, monkeypatch):
+    """A run that loses the commit race must leave ZERO lineage rows —
+    the winner reuses the snapshot id the loser had planned on, so loser
+    lineage would corrupt lineage-to-snapshot attribution. The resumed
+    retry then commits, and every lineage row maps to a manifest entry
+    with the matching run_id."""
+    import os as _os
+
+    from vietnamese_ocr_spark.plans.extract import run_extract_frames
+    from vietnamese_ocr_spark.sources.tableio import ConcurrentCommitError
+
+    docs = spark.read.parquet(corpus["documents"]).filter("doc_id < 'doc-00000020'")
+    media = spark.read.parquet(corpus["media"])
+    out = str(tmp_path / "tbl")
+
+    orig_append = ExtractTable.append_extracted
+    state = {"armed": True}
+
+    def sabotage(self, df):
+        files = orig_append(self, df)
+        if state["armed"]:
+            state["armed"] = False
+            intruder = spark.createDataFrame([("doc-zzz-intruder", [])], SPANS_DDL)
+            t2 = ExtractTable(self.root)
+            t2.commit("run-intruder", {"data_files": orig_append(t2, intruder)})
+        return files
+
+    monkeypatch.setattr(ExtractTable, "append_extracted", sabotage)
+    with pytest.raises(ConcurrentCommitError):
+        run_extract_frames(spark, docs, media, out)
+    monkeypatch.undo()
+
+    table = ExtractTable(out)
+    assert not _os.path.isdir(table.lineage_dir), "OCC loser wrote lineage"
+
+    r2 = run_extract_frames(spark, docs, media, out)  # retry resumes
+    lin = spark.read.parquet(out + "/lineage")
+    by_id = {s["snapshot_id"]: s for s in table.manifest()["snapshots"]}
+    for row in lin.select("snapshot_id", "run_id").distinct().collect():
+        assert by_id[row["snapshot_id"]]["run_id"] == row["run_id"]
+    assert r2["total_docs"] == 21  # 20 victims + the intruder doc

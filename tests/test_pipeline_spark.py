@@ -78,7 +78,7 @@ def test_run_extract_commits_and_resumes(spark, corpus, tmp_path, golden):
     r2 = run_extract(spark, corpus["documents"], corpus["media"], out)
     assert r2["total_docs"] == len(golden)
     assert r2["snapshot_id"] == 2
-    final = spark.read.parquet(out + "/extracted")
+    final = spark.read.option("recursiveFileLookup", "true").parquet(out + "/extracted")
     assert final.count() == len(golden)
 
 

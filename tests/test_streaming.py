@@ -28,7 +28,7 @@ def test_stream_extract_matches_oracle(spark, corpus, golden, tmp_path):
     finally:
         q.stop()
 
-    rows = spark.read.parquet(out + "/extracted").collect()
+    rows = spark.read.option("recursiveFileLookup", "true").parquet(out + "/extracted").collect()
     got = {
         r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
         for r in rows
@@ -72,7 +72,7 @@ def test_stream_extract_restart_resumes_without_duplicates(
     finally:
         q2.stop()
 
-    rows = spark.read.parquet(out + "/extracted").collect()
+    rows = spark.read.option("recursiveFileLookup", "true").parquet(out + "/extracted").collect()
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)), "duplicate doc_ids after restart"
     got = {

@@ -53,7 +53,19 @@ def _spread(docs: DataFrame) -> DataFrame:
         if len(docs.inputFiles()) >= n:
             return docs
     except Exception:
-        pass  # non-file-backed plan — fall through to the respread
+        pass  # can't enumerate source files — try the partition probe
+    # Non-file-backed plan (derived in-memory frame): fall back to the
+    # physical partition count before paying a full shuffle — a derived
+    # frame that already has >= n partitions must not be reshuffled on
+    # every dedup/shingle call. rdd.getNumPartitions() forces a
+    # DataFrame->RDD conversion and is unavailable under Spark Connect,
+    # hence the guard order: inputFiles first, this probe second,
+    # repartition only when both say "narrow".
+    try:
+        if docs.rdd.getNumPartitions() >= n:
+            return docs
+    except Exception:
+        pass  # Spark Connect: no RDD surface — respread is the safe default
     return docs.repartition(n)
 
 

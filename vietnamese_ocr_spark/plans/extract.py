@@ -239,10 +239,8 @@ def run_extract_frames(
     extracted, rec = extract_df(spark, documents, media, weights_bc, n_partitions)
     rec = rec.cache()  # reused by lineage; avoids re-running OCR
     try:
-        snapshot_id = table.current_snapshot() + 1
+        base_snapshot = table.current_snapshot()
         new_files = table.append_extracted(extracted)
-        lineage = lineage_df(rec, run_id, snapshot_id)
-        table.append_lineage(lineage)
         media_done = rec.count()
         committed = table.commit(
             run_id,
@@ -256,8 +254,13 @@ def run_extract_frames(
             # planned against; a concurrent writer raises
             # ConcurrentCommitError, our files stay orphaned-invisible,
             # and a re-run resumes via the committed-doc anti-join
-            expect_snapshot=snapshot_id - 1,
+            expect_snapshot=base_snapshot,
         )
+        # lineage lands strictly AFTER the data commit, stamped with the
+        # snapshot id the commit actually returned: an OCC-losing writer
+        # must never leave lineage rows carrying a snapshot_id it didn't
+        # commit (the winner would reuse that id, corrupting attribution)
+        table.append_lineage(lineage_df(rec, run_id, committed))
         n_docs = table.read_snapshot(spark, committed).select("doc_id").count()
     finally:
         rec.unpersist()

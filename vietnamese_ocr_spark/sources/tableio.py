@@ -11,10 +11,12 @@ at `format("iceberg")` without touching the pipeline code.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +56,32 @@ class ExtractTable:
     def new_run_id(self) -> str:
         return uuid.uuid4().hex[:12]
 
+    @contextmanager
+    def _manifest_lock(self):
+        """Mutual exclusion for manifest read-check-replace sequences.
+
+        Optimistic concurrency alone (read head, check, os.replace) has a
+        race: two writers can both read the same head, both pass the
+        expect_snapshot check, and the SECOND os.replace silently discards
+        the first writer's committed snapshot. flock makes the sequence a
+        true compare-and-swap; the OS releases the lock on process death,
+        so there is no stale-lockfile failure mode. (A real Iceberg
+        catalog provides this CAS via the metastore/REST atomic swap.)"""
+        os.makedirs(self.root, exist_ok=True)
+        fh = open(os.path.join(self.root, ".manifest.lock"), "a+")
+        try:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+            fh.close()
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self.manifest_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+
     def commit(self, run_id: str, stats: dict,
                expect_snapshot: int | None = None) -> int:
         """Append a snapshot entry; returns the new snapshot id.
@@ -63,33 +91,31 @@ class ExtractTable:
         still the snapshot the writer based its work on; otherwise
         ConcurrentCommitError — the loser's already-written data files
         stay orphaned and INVISIBLE (never in any manifest), so a retry
-        re-reads the new head and re-runs only the remaining work via
-        the resume anti-join. No locks, no torn manifests (os.replace
-        is atomic)."""
-        m = self.manifest()
-        head = m["snapshots"][-1]["snapshot_id"] if m["snapshots"] else 0
-        if expect_snapshot is not None and head != expect_snapshot:
-            raise ConcurrentCommitError(
-                f"table advanced to snapshot {head} (expected {expect_snapshot}); "
-                f"re-read and retry"
+        re-reads the new head and re-commits the same files (or re-runs
+        only the remaining work via the resume anti-join). The whole
+        read-check-replace runs under the manifest flock, so the check
+        is a real CAS, not best-effort."""
+        with self._manifest_lock():
+            m = self.manifest()
+            head = m["snapshots"][-1]["snapshot_id"] if m["snapshots"] else 0
+            if expect_snapshot is not None and head != expect_snapshot:
+                raise ConcurrentCommitError(
+                    f"table advanced to snapshot {head} (expected "
+                    f"{expect_snapshot}); re-read and retry"
+                )
+            # head + 1, NOT len(snapshots) + 1: expire_snapshots trims old
+            # manifest entries, and ids must stay monotone across expiry or
+            # time travel and resume ordering break
+            snap_id = head + 1
+            m["snapshots"].append(
+                {
+                    "snapshot_id": snap_id,
+                    "run_id": run_id,
+                    "committed_at_unix": time.time(),
+                    **stats,
+                }
             )
-        # head + 1, NOT len(snapshots) + 1: expire_snapshots trims old
-        # manifest entries, and ids must stay monotone across expiry or
-        # time travel and resume ordering break
-        snap_id = head + 1
-        m["snapshots"].append(
-            {
-                "snapshot_id": snap_id,
-                "run_id": run_id,
-                "committed_at_unix": time.time(),
-                **stats,
-            }
-        )
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=2)
-        os.replace(tmp, self.manifest_path)
+            self._write_manifest(m)
         return snap_id
 
     def current_snapshot(self) -> int:
@@ -98,9 +124,17 @@ class ExtractTable:
 
     # -- data --------------------------------------------------------------
     def _data_files(self) -> set[str]:
+        """All parquet files under extracted/, as extracted/-relative
+        paths (each write lands in its own `w-<uuid>/` subdir)."""
         if not os.path.isdir(self.extracted_dir):
             return set()
-        return {f for f in os.listdir(self.extracted_dir) if f.endswith(".parquet")}
+        out: set[str] = set()
+        for dirpath, _dirs, files in os.walk(self.extracted_dir):
+            rel = os.path.relpath(dirpath, self.extracted_dir)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(f if rel == "." else os.path.join(rel, f))
+        return out
 
     def has_data(self) -> bool:
         return bool(self._data_files())
@@ -131,11 +165,25 @@ class ExtractTable:
             return None
         return spark.read.parquet(*files).select("doc_id")
 
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write df into its own `extracted/w-<uuid>/` directory and
+        return the written files (extracted/-relative paths). The new
+        files are identified FROM THE WRITE ITSELF — never by diffing
+        the directory listing, which would absorb files a concurrent
+        writer drops into extracted/ mid-write (they would then be
+        claimed by two snapshots and double-counted)."""
+        sub = f"w-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.extracted_dir, sub)
+        df.write.parquet(target)  # fresh dir: default errorifexists is safe
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(target)
+            if f.endswith(".parquet")
+        )
+
     def append_extracted(self, df: DataFrame) -> list[str]:
         """Append; returns the NEW data files (for the snapshot manifest)."""
-        before = self._data_files()
-        df.write.mode("append").parquet(self.extracted_dir)
-        return sorted(self._data_files() - before)
+        return self._write_data(df)
 
     def read_snapshot(
         self,
@@ -222,12 +270,16 @@ class ExtractTable:
         # rewritten files. Compaction is a one-off maintenance job, so
         # the merged-footer scan cost is the right trade.
         df = spark.read.option("mergeSchema", "true").parquet(*files)
-        before = self._data_files()
         # repartition (not coalesce): coalesce would chain the tiny input
         # splits into uneven tasks; a compaction job wants evenly-sized
         # outputs, and pays its one shuffle by design
-        df.repartition(n_out).write.mode("append").parquet(self.extracted_dir)
-        new_files = sorted(self._data_files() - before)
+        new_files = self._write_data(df.repartition(n_out))
+        # expect_snapshot=head: a compaction REPLACES the head state, so
+        # an append committed after we read `head` must win — our replace
+        # snapshot would silently swallow its rows otherwise. On the race
+        # we raise ConcurrentCommitError; the rewritten files stay
+        # orphaned-invisible and the caller simply re-runs compact()
+        # against the new head.
         snap = self.commit(
             self.new_run_id(),
             {
@@ -236,6 +288,7 @@ class ExtractTable:
                 "compacted_files": len(files),
                 "bytes": total_b,
             },
+            expect_snapshot=head,
         )
         return {
             "snapshot_id": snap,
@@ -245,39 +298,81 @@ class ExtractTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg's expire_snapshots: drop all but the newest
-        `keep_last` snapshot entries and DELETE data files no longer
-        referenced by any retained snapshot (respecting replace
+        `keep_last` snapshot entries and DELETE data files referenced by
+        an EXPIRED snapshot but no retained one (respecting replace
         semantics, so a retained appends-after-compaction chain keeps
-        the files it builds on). Time travel before the horizon stops
-        working — that's the contract that makes storage reclaimable."""
-        m = self.manifest()
-        snaps = m["snapshots"]
-        if keep_last < 1 or len(snaps) <= keep_last:
-            return {"expired": 0, "deleted_files": 0}
-        kept = snaps[-keep_last:]
-        # everything any retained snapshot can read (full state per id,
-        # computed BEFORE the manifest is trimmed)
-        referenced: set[str] = set()
-        for s in kept:
-            referenced.update(self._files_as_of(s["snapshot_id"]))
-        # the oldest kept snapshot must become self-contained: if it was
-        # a plain append, its base files' snapshots are being dropped, so
-        # rewrite it as a "replace" entry carrying its complete state
-        # (exactly how an Iceberg snapshot's manifest list is always
-        # self-describing)
-        horizon_state = sorted(
-            os.path.basename(p) for p in self._files_as_of(kept[0]["snapshot_id"])
-        )
-        kept[0] = {**kept[0], "operation": "replace", "data_files": horizon_state}
-        deleted = 0
-        for f in sorted(self._data_files()):
-            path = os.path.join(self.extracted_dir, f)
-            if path not in referenced:
-                os.remove(path)
-                deleted += 1
-        m["snapshots"] = kept
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh, indent=2)
-        os.replace(tmp, self.manifest_path)
-        return {"expired": len(snaps) - len(kept), "deleted_files": deleted}
+        the files it builds on). Files the manifest has never heard of —
+        the in-flight write of a concurrent job, or the orphans of an
+        OCC-losing writer whose documented retry path re-commits those
+        very files — are NOT touched: expiry reclaims only history it
+        owns (Iceberg's contract); unknown files belong to the separate
+        age-gated :meth:`remove_orphans`. Time travel before the horizon
+        stops working — that's what makes storage reclaimable. Runs
+        under the manifest lock so a concurrent commit can't be trimmed
+        away by the rewrite."""
+        with self._manifest_lock():
+            m = self.manifest()
+            snaps = m["snapshots"]
+            if keep_last < 1 or len(snaps) <= keep_last:
+                return {"expired": 0, "deleted_files": 0}
+            kept = snaps[-keep_last:]
+            expired = snaps[:-keep_last]
+            # full readable state per id, computed BEFORE the trim
+            retained_refs: set[str] = set()
+            for s in kept:
+                retained_refs.update(self._files_as_of(s["snapshot_id"]))
+            expired_refs: set[str] = set()
+            for s in expired:
+                expired_refs.update(self._files_as_of(s["snapshot_id"]))
+            # the oldest kept snapshot must become self-contained: if it
+            # was a plain append, its base files' snapshots are being
+            # dropped, so rewrite it as a "replace" entry carrying its
+            # complete state (exactly how an Iceberg snapshot's manifest
+            # list is always self-describing)
+            horizon_state = sorted(
+                os.path.relpath(p, self.extracted_dir)
+                for p in self._files_as_of(kept[0]["snapshot_id"])
+            )
+            kept[0] = {**kept[0], "operation": "replace", "data_files": horizon_state}
+            deleted = 0
+            for path in sorted(expired_refs - retained_refs):
+                if os.path.exists(path):
+                    os.remove(path)
+                    deleted += 1
+            self._prune_empty_write_dirs()
+            m["snapshots"] = kept
+            self._write_manifest(m)
+            return {"expired": len(expired), "deleted_files": deleted}
+
+    def remove_orphans(self, older_than_s: float = 3 * 86400.0) -> dict:
+        """Iceberg's remove_orphan_files: delete data files referenced by
+        NO manifest snapshot and older than `older_than_s` (mtime). The
+        age gate is the whole point — a young orphan may be a concurrent
+        writer's in-flight output or an OCC loser about to re-commit the
+        same files; only files old enough that no live writer can still
+        claim them are reclaimed."""
+        with self._manifest_lock():
+            referenced: set[str] = set()
+            for s in self.manifest()["snapshots"]:
+                referenced.update(self._files_as_of(s["snapshot_id"]))
+            now = time.time()
+            deleted = 0
+            for f in sorted(self._data_files()):
+                path = os.path.join(self.extracted_dir, f)
+                if path not in referenced and now - os.path.getmtime(path) > older_than_s:
+                    os.remove(path)
+                    deleted += 1
+            self._prune_empty_write_dirs()
+            return {"deleted_files": deleted}
+
+    def _prune_empty_write_dirs(self) -> None:
+        if not os.path.isdir(self.extracted_dir):
+            return
+        for d in os.listdir(self.extracted_dir):
+            p = os.path.join(self.extracted_dir, d)
+            if os.path.isdir(p) and not any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            ):
+                for leftover in os.listdir(p):  # _SUCCESS, .crc markers
+                    os.remove(os.path.join(p, leftover))
+                os.rmdir(p)

@@ -52,12 +52,14 @@ def stream_extract(
         rec = rec.cache()
         try:
             run_id = f"epoch-{epoch_id}"
-            snapshot_id = table.current_snapshot() + 1
             new_files = table.append_extracted(extracted)
-            table.append_lineage(lineage_df(rec, run_id, snapshot_id))
-            table.commit(run_id, {"epoch_id": epoch_id,
-                                  "media_recognized": rec.count(),
-                                  "data_files": new_files})
+            committed = table.commit(run_id, {"epoch_id": epoch_id,
+                                              "media_recognized": rec.count(),
+                                              "data_files": new_files})
+            # after the commit, stamped with the id it actually returned
+            # (same contract as plans/extract.py: no lineage for
+            # snapshots that never committed)
+            table.append_lineage(lineage_df(rec, run_id, committed))
         finally:
             rec.unpersist()
 
