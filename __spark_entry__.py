@@ -137,6 +137,9 @@ _GOLDEN_COLS = {
     "multimodal_image_stats": "asset_id, width, height, mean_lum, ink_ratio",
     "multimodal_audio_features": "asset_id, n_samples, features_md5",
     "multimodal_frame_sample": "asset_id, frame_idx, phash",
+    "image_decode_stats": (
+        "asset_id, fmt, decode_ok, width, height, mean_lum, ink_ratio"
+    ),
 }
 
 

@@ -10,7 +10,16 @@ Each measurement runs in its own subprocess -> its own JVM, so the two
 parallelism levels share nothing. Results land in BENCH/BASELINE.md.
 
 Usage:  python bench_scaling.py [--docs 20000]
+        python bench_scaling.py --skew [--docs 10000]
         python bench_scaling.py --measure <cpus> <corpus_dir>   (internal)
+        python bench_scaling.py --measure-skew <cpus> <corpus> <mode> (internal)
+
+--skew (round-4, SURVEY §7 hard-point d): builds a whale corpus (1% of
+docs carry 100-150 max-height media spans — ~100x the media payload of a
+typical doc), then measures the OCR stage's per-task times under three
+partitionings (none = scan order, hash = by media_ref, salted = the
+production size-bucket x salt shuffle) and runs the 2->8 ladder on the
+skewed corpus. Appends the evidence to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -70,14 +79,153 @@ def ensure_corpus(n_docs: int) -> str:
     return out
 
 
+def ensure_skewed_corpus(n_docs: int) -> str:
+    """1% whale docs with 100-150 max-height media spans each: the whale
+    media land CONTIGUOUSLY in the media table (refs are assigned in doc
+    order), so scan-order partitions inherit all-whale regions — the
+    skew shape the salted repartition exists to kill."""
+    from vietnamese_ocr_spark.sources.fixtures import generate_corpus
+
+    out = os.path.join(CACHE, f"bench_corpus_skew_{n_docs}_s42")
+    if not os.path.exists(os.path.join(out, "media.parquet")):
+        print(f"generating skewed {n_docs}-doc corpus -> {out}", file=sys.stderr)
+        generate_corpus(n_docs, out, whale_frac=0.01, whale_spans=(100, 151))
+    return out
+
+
+def measure_skew(cpus: int, corpus_dir: str, mode: str) -> dict:
+    """Per-task wall times of the REAL OCR stage (make_ocr_stage) under a
+    chosen pre-stage partitioning. The probe wraps the production stage
+    closure and emits one (part_id, n_media, elapsed) row per task."""
+    import pandas as pd
+
+    from vietnamese_ocr_spark.config import get_spark
+    from vietnamese_ocr_spark.operators.ocr_stage import make_ocr_stage, salted_repartition
+    from vietnamese_ocr_spark.plans.extract import broadcast_weights
+
+    spark = get_spark(f"skew-{cpus}-{mode}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    media = spark.read.parquet(f"{corpus_dir}/media.parquet").select(
+        "media_ref", "png", "size_b"
+    )
+    if mode == "salted":
+        balanced = salted_repartition(media, cpus)
+    elif mode == "hash":
+        balanced = media.repartition(cpus, "media_ref")
+    elif mode == "none":
+        balanced = media  # scan-order partitions (file splits)
+    else:
+        raise ValueError(mode)
+    stage = make_ocr_stage(broadcast_weights(spark))
+
+    def probe(batches):
+        from pyspark import TaskContext
+
+        t0 = time.perf_counter()
+        n = 0
+        for out in stage(batches):
+            n += len(out)
+        yield pd.DataFrame(
+            [{
+                "part_id": TaskContext.get().partitionId(),
+                "n_media": n,
+                "elapsed": time.perf_counter() - t0,
+            }]
+        )
+
+    probed = balanced.mapInPandas(probe, "part_id int, n_media long, elapsed double")
+    probed.write.mode("overwrite").format("noop").save()  # warm workers/JIT
+    t0 = time.perf_counter()
+    rows = probed.collect()
+    wall = time.perf_counter() - t0
+    times = sorted(r["elapsed"] for r in rows)
+    counts = [r["n_media"] for r in rows]
+    med = times[len(times) // 2] if times else 0.0
+    mean = sum(times) / len(times)
+    var = sum((t - mean) ** 2 for t in times) / len(times)
+    spark.stop()
+    return {
+        "mode": mode,
+        "cpus": cpus,
+        "tasks": len(times),
+        "wall_s": round(wall, 2),
+        "task_max_s": round(times[-1], 3),
+        "task_median_s": round(med, 3),
+        "straggler_ratio": round(times[-1] / med, 2) if med > 0 else None,
+        "task_cv": round((var ** 0.5) / mean, 3) if mean > 0 else None,
+        "rows_min_max": [min(counts), max(counts)],
+    }
+
+
+def run_skew_suite(n_docs: int) -> int:
+    corpus = ensure_skewed_corpus(n_docs)
+
+    def sub(args: list[str]) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True, text=True, check=True,
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        print(r, file=sys.stderr)
+        return r
+
+    modes = {m: sub(["--measure-skew", "8", corpus, m])
+             for m in ("none", "hash", "salted")}
+    # 2->8 ladder of the FULL extraction on the skewed corpus (fresh JVMs,
+    # best-of-two interleaved passes — same protocol as the primary ladder)
+    results = {2: [], 8: []}
+    for _ in range(2):
+        for cpus in (2, 8):
+            results[cpus].append(sub(["--measure", str(cpus), corpus]))
+    lo = min(results[2], key=lambda r: r["wall_s"])
+    hi = min(results[8], key=lambda r: r["wall_s"])
+    eff = round(hi["docs_per_sec"] / lo["docs_per_sec"] / 4, 3)
+    summary = {
+        "metric": "whale-skew evidence: task balance + 2->8 ladder on skewed corpus",
+        "docs": n_docs,
+        "modes": modes,
+        "ladder_2_8": {"n": lo, "n4": hi, "efficiency": eff, "pass": eff >= 0.8},
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    mode_rows = "".join(
+        f"| {m} | {v['tasks']} | {v['wall_s']} | {v['task_median_s']} "
+        f"| {v['task_max_s']} | {v['straggler_ratio']} | {v['task_cv']} |\n"
+        for m, v in modes.items()
+    )
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            "\n## Whale-skew proof (round 4; SURVEY §7 hard-point d)\n\n"
+            f"Skewed corpus: {n_docs} docs, 1% whales carrying 100-150\n"
+            "max-height media spans each (~100x a typical doc's media\n"
+            "payload); whale media sit contiguously in the media table, so\n"
+            "scan-order partitions inherit all-whale regions. OCR stage per-\n"
+            "task times at local[8] under three pre-stage partitionings:\n\n"
+            "| partitioning | tasks | stage wall s | median task s | max task s "
+            "| straggler ratio | task-time CV |\n|---|---|---|---|---|---|---|\n"
+            + mode_rows +
+            f"\nFull-extraction 2->8 ladder on the skewed corpus: "
+            f"{lo['docs_per_sec']} -> {hi['docs_per_sec']} docs/s, efficiency "
+            f"**{eff}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}).\n"
+        )
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         print(json.dumps(measure(int(sys.argv[2]), sys.argv[3])))
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure-skew":
+        print(json.dumps(measure_skew(int(sys.argv[2]), sys.argv[3], sys.argv[4])))
         return 0
 
     n_docs = 20000
     if "--docs" in sys.argv:
         n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
+    if "--skew" in sys.argv:
+        return run_skew_suite(n_docs if "--docs" in sys.argv else 10000)
     corpus = ensure_corpus(n_docs)
 
     def measure_subproc(cpus: int) -> dict:

@@ -86,3 +86,95 @@ def test_preprocess_shape_and_range():
     out = preprocess(img)
     assert out.shape == (TARGET_H, TARGET_W)
     assert out.dtype == np.uint8
+
+
+# -- round-4 full PNG matrix: color types x scanline filters ------------------
+
+def test_png_color_types_roundtrip_all_filters():
+    """ctype 0 (gray), 2 (RGB), 6 (RGBA) x filters 0-4 — the web-PNG
+    shapes PIL's Image.open accepts (reference src/utils/inference.py:125)."""
+    from vietnamese_ocr_spark.functions.imaging import png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (21, 37), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (15, 22, 4), dtype=np.uint8)
+    for f in range(5):
+        assert np.array_equal(png_decode(png_encode(gray, filter_type=f)), gray)
+        assert np.array_equal(png_decode(png_encode(rgb, filter_type=f)), rgb)
+        assert np.array_equal(png_decode(png_encode(rgba, filter_type=f)), rgba)
+
+
+def test_png_palette_expands_to_rgb():
+    from vietnamese_ocr_spark.functions.imaging import png_decode, png_encode_palette
+
+    rng = np.random.default_rng(12)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (20, 30)).astype(np.uint8)
+    out = png_decode(png_encode_palette(idx, palette))
+    assert out.shape == (20, 30, 3)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_png_rejects_interlaced():
+    import struct
+    import zlib
+
+    from vietnamese_ocr_spark.functions.imaging import _PNG_SIG, _png_chunk, png_decode
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    data = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7"):
+        png_decode(data)
+
+
+def test_decode_image_dispatch_and_gray_conversion():
+    """decode_image: PNG or JPEG in, BT.601 grayscale out — the single
+    ingestion seam the OCR stage quarantines around."""
+    from vietnamese_ocr_spark.functions.imaging import decode_image, grayscale, png_encode
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (18, 25), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (18, 25, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(png_encode(gray)), gray)
+    assert np.array_equal(decode_image(png_encode(rgb)), grayscale(rgb))
+    jdec = decode_image(jpeg_encode(gray, 100))
+    # q100 JPEG is near-lossless: only DCT coefficient rounding remains
+    assert np.abs(jdec.astype(int) - gray.astype(int)).max() <= 1
+    # RGBA: alpha ignored (PIL convert('L') semantics)
+    rgba = np.dstack([rgb, np.full((18, 25), 7, np.uint8)])
+    assert np.array_equal(decode_image(png_encode(rgba)), grayscale(rgb))
+    with pytest.raises(ValueError, match="unknown image format"):
+        decode_image(b"GIF89a not supported")
+
+
+def test_ocr_pipeline_recognizes_color_png_and_jpeg():
+    """The first thing a real user hits (round-3 Missing #1): media
+    payloads that are color PNGs or JPEGs of the same rendered text must
+    recognize to the same string as the gray8 PNG."""
+    from vietnamese_ocr_spark.functions.imaging import png_encode
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+    from vietnamese_ocr_spark.model.glyphs import build_atlas, render_line
+    from vietnamese_ocr_spark.model.pipeline import recognize_png_batch
+    from vietnamese_ocr_spark.model.recognizer import Recognizer, build_weights
+    from vietnamese_ocr_spark.model.vocab import Vocabulary
+
+    atlas = build_atlas(Vocabulary())
+    img = render_line("xinchao", 64, atlas)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    payloads = [
+        png_encode(img),                      # gray8 (round-3 baseline)
+        png_encode(rgb),                      # color PNG
+        png_encode(rgb, filter_type=4),       # Paeth-filtered color PNG
+        jpeg_encode(img, 100),                # lossless-quality JPEG
+        b"\x00corrupt",                       # quarantined, not fatal
+    ]
+    rec = Recognizer(build_weights())
+    texts, _hist, ok = recognize_png_batch(payloads, rec)
+    assert ok == [True, True, True, True, False]
+    assert texts[0] == "xinchao"
+    assert texts[1] == texts[2] == texts[3] == texts[0]
+    assert texts[4] == ""

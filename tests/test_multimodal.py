@@ -33,7 +33,14 @@ def assets(spark):
             (f"vid-{i}", "video", "video/frames-stub", bytearray(f"vid{i}".encode()),
              320, 240, None, None, 95)
         )
-    rows.append(("bad-0", "image", "image/jpeg", bytearray(b"\xff\xd8"), 1, 1, None, None, None))
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+
+    jimg = (np.add.outer(np.arange(40) * 3, np.arange(100)) % 256).astype(np.uint8)
+    rows.append(
+        ("jpg-0", "image", "image/jpeg", bytearray(jpeg_encode(jimg, 90)),
+         100, 40, None, None, None)
+    )
+    rows.append(("bad-0", "image", "image/tiff", bytearray(b"II*\x00"), 1, 1, None, None, None))
     return spark.createDataFrame(rows, ASSETS_DDL)
 
 
@@ -53,9 +60,14 @@ def test_image_resize_roundtrips(assets):
         assert img.shape == (64, 256)
 
 
+def test_jpeg_assets_decode(assets):
+    out = {r["asset_id"]: r for r in image_features(assets.filter("asset_id = 'jpg-0'")).collect()}
+    assert out["jpg-0"]["height"] == 40 and out["jpg-0"]["width"] == 100
+
+
 def test_unsupported_mime_raises(assets):
     bad = assets.filter("asset_id = 'bad-0'")
-    with pytest.raises(Exception, match="NotImplementedError|image/jpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|image/tiff"):
         image_features(bad).collect()
 
 

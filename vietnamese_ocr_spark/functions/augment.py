@@ -13,10 +13,9 @@ same keyed-determinism contract as operators/reshuffle.py and
 operators/sampling.py. Pure NumPy on gray8 arrays (cv2/albumentations
 are not in the runtime); geometry ops use one shared bilinear remap.
 
-ImageCompression(95) is the one documented stub: no JPEG codec exists
-in this image, so `jpeg_compression` is a no-op that records itself in
-the op log (same honesty rule as the audio/video codec stubs in
-operators/multimodal.py).
+ImageCompression(95) is a REAL JPEG round-trip through the pure-NumPy
+baseline codec (functions/jpeg.py) — encode at the drawn quality, decode,
+keep the lossy result, exactly what albumentations does via cv2.
 """
 
 from __future__ import annotations
@@ -125,12 +124,15 @@ def brightness_contrast(img: np.ndarray, rng: np.random.Generator,
 
 def jpeg_compression(img: np.ndarray, rng: np.random.Generator,
                      quality: int = 95) -> np.ndarray:
-    """A.ImageCompression(95) STUB: no JPEG codec in this runtime, so
-    this is the identity (documented, like the audio/video codec stubs).
-    The rng draw is still consumed so downstream draws stay aligned with
-    a future real implementation."""
-    rng.uniform()  # reserved for the quality jitter a codec would use
-    return img
+    """A.ImageCompression(95): real lossy JPEG round-trip via the
+    pure-NumPy baseline codec (functions/jpeg.py). albumentations draws
+    the quality from U(quality_lower, 100); we keep the same single rng
+    draw (stream-position compatible with the round-3 stub) and map it
+    to an integer quality in [quality, 100]."""
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    q = quality + int(rng.uniform() * (100 - quality + 1))
+    return jpeg_decode(jpeg_encode(img, quality=min(q, 100)))
 
 
 def safe_rotate(img: np.ndarray, rng: np.random.Generator,

@@ -34,74 +34,207 @@ TARGET_W = 256
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def png_encode(arr: np.ndarray) -> bytes:
-    """Encode a uint8 HxW grayscale array as a PNG (filter 0, 8-bit gray)."""
-    if arr.dtype != np.uint8 or arr.ndim != 2:
-        raise ValueError("png_encode expects uint8 HxW grayscale")
-    h, w = arr.shape
-    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(arr2d: np.ndarray, bpp: int, ftype: int) -> bytes:
+    """Apply PNG forward filter `ftype` to every scanline of a (H, W*bpp)
+    byte matrix. Forward filters read ORIGINAL neighbor bytes, so all
+    five are fully vectorizable (unlike decode, where Sub/Avg/Paeth are
+    sequential in x)."""
+    cur = arr2d.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    ul = np.zeros_like(cur)
+    ul[1:, bpp:] = cur[:-1, :-bpp]
+    if ftype == 0:
+        enc = cur
+    elif ftype == 1:
+        enc = cur - left
+    elif ftype == 2:
+        enc = cur - up
+    elif ftype == 3:
+        enc = cur - ((left + up) >> 1)
+    elif ftype == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
         )
+        enc = cur - pred
+    else:
+        raise ValueError(f"bad PNG filter {ftype}")
+    enc = (enc & 0xFF).astype(np.uint8)
+    tag = bytes([ftype])
+    return b"".join(tag + enc[y].tobytes() for y in range(enc.shape[0]))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode uint8 gray (HxW), RGB (HxWx3) or RGBA (HxWx4) as 8-bit PNG.
+
+    `filter_type` selects the scanline filter (0..4) applied to every
+    row — 0 in production (fast path on decode); the others exist so the
+    decoder's full filter matrix is testable against our own encoder."""
+    if arr.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8")
+    if arr.ndim == 2:
+        ctype, bpp = 0, 1
+        flat = arr
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        ctype = 2 if arr.shape[2] == 3 else 6
+        bpp = arr.shape[2]
+        flat = arr.reshape(arr.shape[0], arr.shape[1] * bpp)
+    else:
+        raise ValueError("png_encode expects HxW, HxWx3 or HxWx4")
+    h, w = arr.shape[0], arr.shape[1]
+    raw = _forward_filter(flat, bpp, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_encode_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode a uint8 HxW index array + (N,3) palette as a type-3 PNG
+    (fixture/test builder for the palette decode path)."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("indices must be uint8 HxW")
+    h, w = indices.shape
+    raw = _forward_filter(indices, 1, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG produced by :func:`png_encode`.
-
-    Supports scanline filters 0 (None), 1 (Sub) and 2 (Up) — enough for
-    our encoder plus simple third-party writers of gray8 images.
+    """Decode an 8-bit PNG: gray (0), RGB (2), palette (3), gray+alpha
+    (4) and RGBA (6) color types, all five scanline filters, multiple
+    IDAT chunks. Matches what `Image.open(...)` accepts for the common
+    web-PNG shapes (reference: src/utils/inference.py:125 opens
+    arbitrary files via PIL). Returns HxW for gray, HxWxC otherwise
+    (palette is expanded to RGB). Interlaced (Adam7) PNGs are rejected.
     """
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(_PNG_SIG)
-    width = height = None
+    width = height = ctype = None
+    plte = None
     idat = []
-    while pos < len(data):
+    while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 0:
-                raise ValueError("only 8-bit grayscale PNG supported")
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    bpp = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
-    stride = width + 1
-    # fast path: every scanline filter 0 (what png_encode writes) — one
-    # vectorized reshape instead of a per-row Python loop
+    stride = width * bpp + 1
+    if len(raw) != height * stride:
+        raise ValueError("PNG data length mismatch")
     flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     if not flat[:, 0].any():
-        return flat[:, 1:].copy()
-    out = np.empty((height, width), dtype=np.uint8)
-    prev = np.zeros(width, dtype=np.uint8)
-    for y in range(height):
-        row = raw[y * stride : (y + 1) * stride]
-        ftype = row[0]
-        line = np.frombuffer(row[1:], dtype=np.uint8).copy()
-        if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub: needs a sequential scan across the row
-            acc = np.cumsum(line.astype(np.uint64)) & 0xFF
-            line = acc.astype(np.uint8)
-        elif ftype == 2:  # Up
-            line = (line.astype(np.uint16) + prev).astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported PNG filter {ftype}")
-        out[y] = line
-        prev = line
-    return out
+        # fast path: every scanline filter 0 (what png_encode writes) —
+        # one vectorized reshape instead of a per-row loop
+        out = flat[:, 1:].copy()
+    else:
+        out = np.empty((height, width * bpp), dtype=np.uint8)
+        prev = np.zeros(width * bpp, dtype=np.int32)
+        for y in range(height):
+            ftype = int(flat[y, 0])
+            line = flat[y, 1:].astype(np.int32)
+            if ftype == 0:
+                cur = line
+            elif ftype == 1:  # Sub: per-channel prefix sum
+                cur = (
+                    np.cumsum(line.reshape(width, bpp).astype(np.int64), axis=0)
+                    & 0xFF
+                ).astype(np.int32).reshape(-1)
+            elif ftype == 2:  # Up
+                cur = (line + prev) & 0xFF
+            elif ftype == 3:  # Average: sequential in x (needs decoded left)
+                cur = np.zeros(width * bpp, dtype=np.int32)
+                for i in range(width * bpp):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth: sequential in x
+                cur = np.zeros(width * bpp, dtype=np.int32)
+                for i in range(width * bpp):
+                    a = cur[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unsupported PNG filter {ftype}")
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+    if ctype == 0:
+        return out
+    img = out.reshape(height, width, bpp)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[img[:, :, 0]]
+    return img
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode PNG or baseline JPEG payload bytes to uint8 HxW grayscale
+    (PIL convert('L') semantics: BT.601 luma, alpha ignored — the
+    reference's ingestion contract, src/utils/inference.py:125 and
+    src/utils/dataloader.py:44). Raises ValueError on unknown formats
+    and on corrupt payloads; callers quarantine."""
+    if data[:8] == _PNG_SIG:
+        arr = png_decode(data)
+    elif data[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        arr = jpeg_decode(data)
+    else:
+        raise ValueError("unknown image format (not PNG or JPEG)")
+    if arr.ndim == 3:
+        if arr.shape[2] == 2:  # gray+alpha: PIL convert('L') drops alpha
+            return arr[:, :, 0].copy()
+        return grayscale(arr)
+    return arr
 
 
 def grayscale(arr: np.ndarray) -> np.ndarray:

@@ -31,10 +31,15 @@ from .functions.text import normalize_py
 from .model.glyphs import render_line
 from .model.pipeline import recognize_png_batch
 from .model.recognizer import Recognizer, build_weights
-from .operators.multimodal import _fake_frame_digest, audio_feature_row, image_stats
-from .sources.sf_adapter import _atlas, _derive
+from .operators.multimodal import (
+    _fake_frame_digest,
+    audio_feature_row,
+    decode_stats_row,
+    image_stats,
+)
+from .sources.sf_adapter import _atlas, _derive, mixed_asset
 
-GOLDEN_VERSION = "r2-1"
+GOLDEN_VERSION = "r4-1"
 BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,6 +53,7 @@ GOLDEN_NAMES = (
     "multimodal_image_stats",
     "multimodal_audio_features",
     "multimodal_frame_sample",
+    "image_decode_stats",
 )
 
 
@@ -179,6 +185,30 @@ def ensure_sf_golden(sf_dir: str) -> dict[str, str]:
             ),
         ),
         paths["multimodal_image_stats"],
+    )
+
+    # -- mixed-format decode coverage (sf_adapter.mixed_asset derivation)
+    decode_rows = [
+        decode_stats_row(a["asset_id"], a["fmt"], a["payload"])
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if (a := mixed_asset(int(doc_id), text)) is not None
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            decode_rows,
+            schema=pa.schema(
+                [
+                    ("asset_id", pa.string()),
+                    ("fmt", pa.string()),
+                    ("decode_ok", pa.bool_()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("mean_lum", pa.float64()),
+                    ("ink_ratio", pa.float64()),
+                ]
+            ),
+        ),
+        paths["image_decode_stats"],
     )
 
     # -- audio / video stub assets (mirrors plans/queries.py derivations)

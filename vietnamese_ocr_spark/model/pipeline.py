@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..functions.imaging import png_decode, preprocess
+from ..functions.imaging import decode_image, preprocess
 from .detector import detect_line_bands, tighten_band
 from .recognizer import Recognizer
 
@@ -38,7 +38,10 @@ def recognize_png_batch(
     ok = [True] * len(pngs)
     for i, png in enumerate(pngs):
         try:
-            gray = png_decode(png)
+            # PNG (gray/RGB/palette/alpha) or baseline JPEG -> BT.601 gray,
+            # the reference's Image.open(...).convert('L') ingestion
+            # contract (src/utils/inference.py:125)
+            gray = decode_image(png)
         except Exception:
             ok[i] = False
             continue

@@ -53,10 +53,10 @@ def pad_stack_batches(media: DataFrame, batch_size: int = 32,
     withpng = ranked.join(media.select("media_ref", "png"), "media_ref")
 
     def collate(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.imaging import png_decode
+        from ..functions.imaging import decode_image
 
         grp = pdf.sort_values("_rank")
-        imgs = [png_decode(bytes(p)) for p in grp["png"]]
+        imgs = [decode_image(bytes(p)) for p in grp["png"]]
         h = max(im.shape[0] for im in imgs)
         max_w = max(im.shape[1] for im in imgs)
         stacked = np.zeros((len(imgs), h, max_w), dtype=np.uint8)

@@ -4,7 +4,9 @@ Large-scale training-data pipelines treat media as `binary` columns with
 typed metadata and run decode / feature-extract / resize / frame-sample as
 vectorized stages. This container has no cv2/PIL/ffmpeg, so:
 
-  * IMAGE ops are REAL for PNG gray8 (our pure-NumPy codec);
+  * IMAGE ops are REAL: 8-bit PNG (gray/RGB/palette/alpha, all five
+    scanline filters) and baseline JPEG (4:4:4 and 4:2:0), both pure
+    NumPy (functions/imaging.py, functions/jpeg.py);
   * AUDIO decode and VIDEO frame decode are STUBS — clearly marked: a
     deterministic fake signal derived from the payload digest stands in
     for PCM/frames (`_fake_pcm`, `_fake_frame_digest`), and unknown mimes
@@ -29,7 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.imaging import png_decode, png_encode, resize_bilinear
+from ..functions.imaging import decode_image, png_encode, resize_bilinear
 
 ASSETS_DDL = (
     "asset_id string, kind string, mime string, payload binary, "
@@ -76,8 +78,8 @@ def image_features(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
-                _require_mime(mime, ("image/png",))
-                rows.append({"asset_id": asset_id, **image_stats(png_decode(payload))})
+                _require_mime(mime, ("image/png", "image/jpeg"))
+                rows.append({"asset_id": asset_id, **image_stats(decode_image(payload))})
             yield pd.DataFrame(rows)
 
     return assets.filter("kind = 'image'").select("asset_id", "mime", "payload").mapInPandas(
@@ -92,8 +94,8 @@ def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for asset_id, mime, payload in zip(pdf["asset_id"], pdf["mime"], pdf["payload"]):
-                _require_mime(mime, ("image/png",))
-                img = resize_bilinear(png_decode(payload), out_h, out_w)
+                _require_mime(mime, ("image/png", "image/jpeg"))
+                img = resize_bilinear(decode_image(payload), out_h, out_w)
                 rows.append(
                     {
                         "asset_id": asset_id,
@@ -196,3 +198,51 @@ def video_frame_sample(assets: DataFrame, every_nth: int = 10) -> DataFrame:
     return assets.filter("kind = 'video'").select(
         "asset_id", "mime", "payload", "n_frames"
     ).mapInPandas(stage, FRAME_SAMPLE_DDL)
+
+
+# -- decode-coverage stats (round-4): every format the ingest accepts ---------
+
+DECODE_STATS_DDL = (
+    "asset_id string, fmt string, decode_ok boolean, "
+    "width int, height int, mean_lum double, ink_ratio double"
+)
+
+
+def decode_stats_row(asset_id: str, fmt: str, payload: bytes) -> dict:
+    """Decode one payload (PNG any color type, baseline JPEG) to gray and
+    report stats; corrupt payloads are quarantined (decode_ok=False),
+    never fatal. Shared by the Spark stage and the golden generator."""
+    from ..functions.imaging import decode_image
+
+    try:
+        img = decode_image(bytes(payload))
+    except Exception:
+        return {
+            "asset_id": asset_id, "fmt": fmt, "decode_ok": False,
+            "width": None, "height": None, "mean_lum": None, "ink_ratio": None,
+        }
+    return {"asset_id": asset_id, "fmt": fmt, "decode_ok": True, **image_stats(img)}
+
+
+def image_decode_stats(assets: DataFrame) -> DataFrame:
+    """(asset_id, fmt, payload) -> per-asset decode outcome + gray stats.
+
+    The scan ships payload bytes into ONE Arrow-batched stage and returns
+    scalars only — binaries never enter a shuffle."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    decode_stats_row(a, f, p)
+                    for a, f, p in zip(pdf["asset_id"], pdf["fmt"], pdf["payload"])
+                ],
+                columns=[
+                    "asset_id", "fmt", "decode_ok",
+                    "width", "height", "mean_lum", "ink_ratio",
+                ],
+            )
+
+    return assets.select("asset_id", "fmt", "payload").mapInPandas(
+        stage, DECODE_STATS_DDL
+    )

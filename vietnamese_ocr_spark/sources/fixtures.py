@@ -85,10 +85,22 @@ def _rand_truth(rng: np.random.Generator, letters: list[str], max_len: int = 16)
     return "".join(letters[int(i)] for i in rng.integers(0, len(letters), n))
 
 
-def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, str]:
+def generate_corpus(
+    n_docs: int,
+    out_dir: str,
+    seed: int = SEED,
+    whale_frac: float = 0.05,
+    whale_spans: tuple[int, int] = (30, 61),
+) -> dict[str, str]:
     """Write documents/media/labels parquet under out_dir; returns paths.
 
-    Deterministic in (n_docs, seed). Injected edge cases (FIXTURES.md §1):
+    Deterministic in (n_docs, seed, whale knobs); the defaults reproduce
+    the committed golden corpus byte-for-byte. `whale_frac`/`whale_spans`
+    shape the skew tail — bench_scaling.py --skew uses (0.01, (100, 151))
+    to build the 1%-of-docs-carry-~100x-media corpus the salting proof
+    runs on.
+
+    Injected edge cases (FIXTURES.md §1):
       doc 0: spans=[]                       (empty doc)
       doc 1: media with empty truth         ('a' fallback path)
       doc 2: media truth 40 chars           (decode cap / flush at 32)
@@ -169,8 +181,10 @@ def generate_corpus(n_docs: int, out_dir: str, seed: int = SEED) -> dict[str, st
             # but the doc must survive with spans=[] on both sides
             push("widget", "opaque payload", "")
         else:
-            whale = rng.random() < 0.05
-            n_spans = int(rng.integers(30, 61)) if whale else int(rng.integers(1, 13))
+            whale = rng.random() < whale_frac
+            n_spans = (
+                int(rng.integers(*whale_spans)) if whale else int(rng.integers(1, 13))
+            )
             for _ in range(n_spans):
                 if whale or rng.random() < 0.4:
                     h = 128 if whale else int(HEIGHTS[int(rng.integers(0, len(HEIGHTS)))])

@@ -126,3 +126,86 @@ def derive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# -- mixed-format image assets (round-4: decode coverage surface) -------------
+
+MIXED_ASSETS_SCHEMA = "asset_id string, fmt string, payload binary"
+
+
+def mixed_asset(doc_id: int, text: str) -> dict | None:
+    """Derive one mixed-format image asset for even doc_ids: the SAME
+    rendered text line encoded as gray PNG (filters 0/4), RGB PNG,
+    palette PNG, gray/color JPEG, or a deliberately corrupt payload —
+    the format mix a raw web crawl hands an extraction job. Pure
+    function of (doc_id, text): shared verbatim by the Spark stage and
+    the golden generator."""
+    if doc_id % 2 != 0:
+        return None
+    from ..functions.imaging import png_encode, png_encode_palette
+    from ..functions.jpeg import jpeg_encode
+    from ..model.glyphs import render_line
+
+    import numpy as np
+
+    atlas, vocab_set = _atlas()
+    truth = "".join(c for c in text if c in vocab_set)[:12] or "mixed"
+    img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
+    variant = (doc_id // 2) % 10
+    asset_id = f"mix-{doc_id:08d}"
+    if variant in (0, 1):
+        return {"asset_id": asset_id, "fmt": "png-gray", "payload": png_encode(img)}
+    if variant == 2:
+        return {
+            "asset_id": asset_id,
+            "fmt": "png-gray-paeth",
+            "payload": png_encode(img, filter_type=4),
+        }
+    if variant in (3, 4):
+        rgb = np.stack([img, img // 2 + 64, 255 - img], axis=-1)
+        return {"asset_id": asset_id, "fmt": "png-rgb", "payload": png_encode(rgb)}
+    if variant == 5:
+        palette = np.stack(
+            [np.arange(16) * 17, np.arange(16) * 13 % 256, np.arange(16) * 7 % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        idx = (img // 16).astype(np.uint8)
+        return {
+            "asset_id": asset_id,
+            "fmt": "png-palette",
+            "payload": png_encode_palette(idx, palette),
+        }
+    if variant in (6, 7):
+        return {
+            "asset_id": asset_id,
+            "fmt": "jpeg-gray",
+            "payload": jpeg_encode(img, quality=90),
+        }
+    if variant == 8:
+        rgb = np.stack([img, img, 255 - img], axis=-1)
+        return {
+            "asset_id": asset_id,
+            "fmt": "jpeg-rgb-420",
+            "payload": jpeg_encode(rgb, quality=85, subsample="420"),
+        }
+    # variant 9: truncated PNG — exercises quarantine, not an error path
+    return {
+        "asset_id": asset_id,
+        "fmt": "corrupt",
+        "payload": png_encode(img)[:25],
+    }
+
+
+def derive_mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                a
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+                if (a := mixed_asset(int(doc_id), text)) is not None
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "fmt", "payload"])
+
+    return base.mapInPandas(gen, MIXED_ASSETS_SCHEMA)

@@ -70,6 +70,21 @@ def _neardup_fn(cap: int, threshold: float):
     return fn
 
 
+def neardup_projection(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sig, bucket): the signature + state-
+    shard routing every arrival gets before the keyed-state compare.
+    Batch/stream agnostic (pure projection), so the batch-mode driver
+    query (plans/queries.py q_neardup_batch_mode) value-checks exactly
+    the projection the stream runs."""
+    sig_cols = [F.col(f"mh{j}") for j in range(SIG_K)]
+    return minhash_signatures(docs).select(
+        "doc_id",
+        F.concat_ws("|", *sig_cols).alias("sig"),
+        # band bucket: truncated first-hash prefix routes state shards
+        F.substring("mh0", 1, BAND_CHARS).alias("bucket"),
+    )
+
+
 def neardup_stream(
     docs_stream: DataFrame,
     threshold: float = 0.75,
@@ -77,13 +92,7 @@ def neardup_stream(
 ) -> DataFrame:
     """docs_stream(doc_id, text) -> stream of (doc_id, matched_doc,
     est_jaccard) for arrivals near-duplicating an earlier doc."""
-    sig_cols = [F.col(f"mh{j}") for j in range(SIG_K)]
-    signed = minhash_signatures(docs_stream).select(
-        "doc_id",
-        F.concat_ws("|", *sig_cols).alias("sig"),
-        # band bucket: truncated first-hash prefix routes state shards
-        F.substring("mh0", 1, BAND_CHARS).alias("bucket"),
-    )
+    signed = neardup_projection(docs_stream)
     return signed.groupBy("bucket").applyInPandasWithState(
         _neardup_fn(cap, threshold),
         outputStructType=OUTPUT_DDL,
