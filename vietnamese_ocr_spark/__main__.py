@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--master", default=None)
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument(
+        "--encoder",
+        default=None,
+        help="registered encoder variant (model/registry.py; the "
+        "reference's config-string model dispatch). Default: "
+        "template_cosine. Pass an unknown name to list the registry.",
+    )
 
     sy = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
     sy.add_argument("--docs", type=int, required=True)
@@ -292,8 +299,10 @@ def main(argv: list[str] | None = None) -> int:
         p.error("pass either --images DIR or both --documents and --media")
 
     from .config import get_spark
+    from .model.registry import DEFAULT_ENCODER
     from .plans.extract import run_extract, run_extract_frames
 
+    encoder = args.encoder or DEFAULT_ENCODER
     spark = get_spark("extract-cli", master=args.master)
     try:
         if args.images:
@@ -307,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 resume=not args.no_resume,
                 n_partitions=args.partitions,
+                encoder=encoder,
             )
         elif args.jsonl:
             from .sources.jsonl import read_documents_jsonl, read_media_jsonl
@@ -318,6 +328,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 resume=not args.no_resume,
                 n_partitions=args.partitions,
+                encoder=encoder,
             )
         else:
             result = run_extract(
@@ -327,6 +338,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 resume=not args.no_resume,
                 n_partitions=args.partitions,
+                encoder=encoder,
             )
         print(json.dumps(result))
     finally:

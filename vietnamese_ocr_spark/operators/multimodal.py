@@ -57,6 +57,31 @@ def _require_mime(mime: str, supported: tuple[str, ...]) -> None:
         )
 
 
+# -- codec registry (the swap-in contract for real audio/video decoders) -----
+#
+# register_codec(mime, fn) is how a real decoder lands without touching any
+# stage: audio codecs are (payload: bytes, n_samples: int) -> float32 PCM,
+# video codecs are (payload: bytes, frame_idx: int) -> phash str. Stages
+# SNAPSHOT the registry at DataFrame-construction time and ship it inside
+# the mapInPandas closure — a worker process never sees the driver's module
+# globals, so late registration on the driver must travel by value.
+
+_AUDIO_CODECS: dict[str, object] = {}
+_VIDEO_CODECS: dict[str, object] = {}
+
+
+def register_codec(mime: str, fn, kind: str = "audio") -> None:
+    """Register a decoder for `mime`. kind='audio': fn(payload, n_samples)
+    -> np.ndarray float32 PCM; kind='video': fn(payload, frame_idx) ->
+    phash string. Registrations apply to stages built AFTER the call."""
+    if kind == "audio":
+        _AUDIO_CODECS[mime] = fn
+    elif kind == "video":
+        _VIDEO_CODECS[mime] = fn
+    else:
+        raise ValueError(f"unknown codec kind {kind!r}")
+
+
 # -- image: REAL ------------------------------------------------------------
 
 def image_stats(img: np.ndarray) -> dict:
@@ -115,19 +140,24 @@ def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
 def _fake_pcm(payload: bytes, n_samples: int) -> np.ndarray:
     """STUB standing in for a PCM decoder: a deterministic pseudo-signal
-    seeded from the payload digest. Replace with soundfile/ffmpeg."""
+    seeded from the payload digest. Replace via register_codec(mime, fn)."""
     seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.standard_normal(n_samples).astype(np.float32)
 
 
-def audio_feature_row(payload: bytes, sr: int, dur_ms: int, frame: int = 512) -> dict:
+_AUDIO_CODECS["audio/pcm-stub"] = _fake_pcm
+
+
+def audio_feature_row(
+    payload: bytes, sr: int, dur_ms: int, frame: int = 512, decode=_fake_pcm
+) -> dict:
     """One asset's framed-RMS feature vector + its canonical digest —
     shared by the Spark stage and the golden generator (golden.py).
     features_md5 hashes the %.6f rendering of each float32 feature, so the
     driver's canonicalizer gets a scalar column instead of an array."""
     n = max(frame, int(int(sr) * int(dur_ms) / 1000))
-    pcm = _fake_pcm(payload, n)
+    pcm = decode(payload, n)
     usable = (len(pcm) // frame) * frame
     frames = pcm[:usable].reshape(-1, frame)
     rms = np.sqrt(np.einsum("nf,nf->n", frames, frames) / frame)
@@ -147,6 +177,8 @@ def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
     fixed-length vector, exactly the batch/shape contract a real MFCC
     stage would have — plus the scalar features_md5 digest."""
 
+    codecs = dict(_AUDIO_CODECS)  # snapshot: rides the closure to workers
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -154,9 +186,13 @@ def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
                 pdf["asset_id"], pdf["mime"], pdf["payload"],
                 pdf["sample_rate"], pdf["duration_ms"],
             ):
-                _require_mime(mime, ("audio/pcm-stub",))
+                _require_mime(mime, tuple(codecs))
                 rows.append(
-                    {"asset_id": asset_id, **audio_feature_row(payload, sr, dur, frame)}
+                    {
+                        "asset_id": asset_id,
+                        **audio_feature_row(payload, sr, dur, frame,
+                                            decode=codecs[mime]),
+                    }
                 )
             yield pd.DataFrame(rows)
 
@@ -168,8 +204,12 @@ def audio_features(assets: DataFrame, frame: int = 512) -> DataFrame:
 # -- video: STUBBED decode, real plumbing ------------------------------------
 
 def _fake_frame_digest(payload: bytes, frame_idx: int) -> str:
-    """STUB standing in for decode+perceptual-hash of one video frame."""
+    """STUB standing in for decode+perceptual-hash of one video frame.
+    Replace via register_codec(mime, fn, kind='video')."""
     return hashlib.md5(payload + frame_idx.to_bytes(4, "big")).hexdigest()[:16]
+
+
+_VIDEO_CODECS["video/frames-stub"] = _fake_frame_digest
 
 
 def video_frame_sample(assets: DataFrame, every_nth: int = 10) -> DataFrame:
@@ -178,19 +218,22 @@ def video_frame_sample(assets: DataFrame, every_nth: int = 10) -> DataFrame:
     One input row explodes to ~n_frames/every_nth output rows — the
     fan-out shape of real frame extraction; phash is the stub digest."""
 
+    codecs = dict(_VIDEO_CODECS)  # snapshot: rides the closure to workers
+
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for asset_id, mime, payload, n_frames in zip(
                 pdf["asset_id"], pdf["mime"], pdf["payload"], pdf["n_frames"]
             ):
-                _require_mime(mime, ("video/frames-stub",))
+                _require_mime(mime, tuple(codecs))
+                decode = codecs[mime]
                 for idx in range(0, int(n_frames), every_nth):
                     rows.append(
                         {
                             "asset_id": asset_id,
                             "frame_idx": idx,
-                            "phash": _fake_frame_digest(payload, idx),
+                            "phash": decode(payload, idx),
                         }
                     )
             yield pd.DataFrame(rows)

@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from ..caching import persist_tracked, release_persisted
 from ..functions.text import normalize_text, with_empty_fallback
-from ..model.recognizer import build_weights, weights_to_bytes
+from ..model.recognizer import weights_to_bytes
+from ..model.registry import DEFAULT_ENCODER, build_weights_variant
 from ..operators.ocr_stage import OCR_OUTPUT_SCHEMA, make_ocr_stage, salted_repartition
 from ..sources.tableio import ExtractTable
 
@@ -44,9 +45,14 @@ EXTRACTED_SPAN_TYPE = (
 )
 
 
-def broadcast_weights(spark: SparkSession):
-    """One driver-side build, one broadcast per app (X8)."""
-    return spark.sparkContext.broadcast(weights_to_bytes(build_weights()))
+def broadcast_weights(spark: SparkSession, encoder: str = DEFAULT_ENCODER):
+    """One driver-side build, one broadcast per app (X8). `encoder`
+    selects a registered variant (model/registry.py — the reference's
+    get_model(config) string dispatch, src/model/model.py:80-114); the
+    OCR stage hydrates whatever variant rode the broadcast."""
+    return spark.sparkContext.broadcast(
+        weights_to_bytes(build_weights_variant(encoder))
+    )
 
 
 def recognize_media_df(media: DataFrame, weights_bc, n_partitions: int | None = None) -> DataFrame:
@@ -198,6 +204,7 @@ def run_extract(
     resume: bool = True,
     n_partitions: int | None = None,
     weights_bc=None,
+    encoder: str = DEFAULT_ENCODER,
 ) -> dict:
     """Full job from parquet table paths; see :func:`run_extract_frames`."""
     return run_extract_frames(
@@ -208,6 +215,7 @@ def run_extract(
         resume=resume,
         n_partitions=n_partitions,
         weights_bc=weights_bc,
+        encoder=encoder,
     )
 
 
@@ -219,6 +227,7 @@ def run_extract_frames(
     resume: bool = True,
     n_partitions: int | None = None,
     weights_bc=None,
+    encoder: str = DEFAULT_ENCODER,
 ) -> dict:
     """Full job: extract -> append extracted+lineage -> commit.
 
@@ -236,6 +245,7 @@ def run_extract_frames(
         if done is not None:
             documents = documents.join(done, "doc_id", "left_anti")
 
+    weights_bc = weights_bc or broadcast_weights(spark, encoder)
     extracted, rec = extract_df(spark, documents, media, weights_bc, n_partitions)
     rec = rec.cache()  # reused by lineage; avoids re-running OCR
     try:
