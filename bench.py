@@ -52,7 +52,9 @@ HEADLINE = [
     "quality_score",
     "pivot_event_counts",
     "windowed_event_counts",
+    "neardup_batch_mode",
     "multimodal_image_stats",
+    "image_decode_stats",
 ]
 
 

@@ -277,6 +277,14 @@ def main() -> int:
         f"| {v['n4']['wall_s']} | {v['n4']['docs_per_sec']} | {v['efficiency']} |\n"
         for k, v in ladders.items()
     )
+    # preserve appended sections (e.g. the --skew proof) across rewrites
+    tail = ""
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        idx = prev.find("\n## Whale-skew proof")
+        if idx >= 0:
+            tail = prev[idx:]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — scaling evidence (north_rule)\n\n"
@@ -307,6 +315,7 @@ def main() -> int:
             "numbers (BASELINE.md); it is a single-process, single-thread\n"
             "pipeline (num_workers: 0, config/swin_config.yaml:29), so any\n"
             "multi-core scaling strictly dominates it at equal per-core cost.\n"
+            + tail
         )
     return 0
 

@@ -157,11 +157,6 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for the bit-serial decoder."""
-    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
-
-
 # -- plane <-> blocks ---------------------------------------------------------
 
 def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
@@ -223,56 +218,90 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
-    """Entropy-segment reader with 0xFF00 unstuffing and marker stops."""
+def _split_entropy(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded stream into UNSTUFFED restart segments.
 
-    def __init__(self, data: bytes, pos: int) -> None:
+    One vectorized scan finds every 0xFF; only those positions are
+    visited in Python (stuffed 0x00s dropped, fill 0xFFs dropped, RSTn
+    cuts a segment, any other marker ends the scan). Replaces the old
+    per-byte _BitReader fill — the decoder's former hot spot."""
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    ff = np.nonzero(arr == 0xFF)[0]
+    segs: list[bytes] = []
+    drops: list[int] = []
+    start = 0
+    end = len(arr)
+    skip_next = -1
+    for i in ff:
+        i = int(i)
+        if i < start or i == skip_next:
+            continue
+        nxt = int(arr[i + 1]) if i + 1 < len(arr) else 0xD9
+        if nxt == 0x00:
+            drops.append(i + 1)  # unstuff: keep the 0xFF, drop the 0x00
+        elif nxt == 0xFF:
+            drops.append(i)  # fill byte before a marker
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            seg = np.delete(arr[start:i], [d - start for d in drops])
+            segs.append(seg.tobytes())
+            drops = []
+            start = i + 2
+            skip_next = i + 1
+        else:  # EOI / next header marker: end of scan
+            end = i
+            break
+    seg = np.delete(arr[start:end], [d - start for d in drops])
+    segs.append(seg.tobytes())
+    return segs
+
+
+class _BitReader:
+    """Bulk bit reader over an unstuffed entropy segment: a 64-bit-ish
+    integer accumulator refilled 8 bytes at a time, 16-bit peeks for the
+    Huffman LUT. Exhausted input pads with 1-bits (the encoder's own
+    flush padding), so a final partial code still decodes; consuming
+    past the pad raises."""
+
+    __slots__ = ("data", "pos", "acc", "n", "limit")
+
+    def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = pos
+        self.pos = 0
         self.acc = 0
         self.n = 0
-        self.marker: int | None = None
+        self.limit = 8 * len(data) + 16  # pad allowance
 
     def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG entropy data")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
-            else:  # a real marker terminates the entropy segment
-                self.marker = nxt
-                raise ValueError("hit marker inside entropy data")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+        chunk = self.data[self.pos : self.pos + 8]
+        if chunk:
+            self.pos += len(chunk)
+            self.acc = (self.acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+            self.n += 8 * len(chunk)
+        else:  # pad with 1-bits; limit guards runaway consumption
+            self.acc = (self.acc << 8) | 0xFF
+            self.n += 8
+            self.limit -= 0  # limit is enforced via consumed count below
 
-    def bit(self) -> int:
-        if self.n == 0:
+    def peek16(self) -> int:
+        while self.n < 16:
             self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        self.limit -= k
+        if self.limit < 0:
+            raise ValueError("truncated JPEG entropy data")
 
     def receive(self, length: int) -> int:
-        v = 0
-        for _ in range(length):
-            v = (v << 1) | self.bit()
+        while self.n < length:
+            self._fill()
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.consume(length)
         return v
-
-    def align_to_marker(self) -> int:
-        """Skip to the next marker (for RSTn handling); returns it."""
-        self.acc = 0
-        self.n = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                m = self.data[self.pos + 1]
-                self.pos += 2
-                self.marker = None
-                return m
-            self.pos += 1
-        raise ValueError("no marker found")
 
 
 def _extend(v: int, s: int) -> int:
@@ -280,14 +309,41 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> np.ndarray:
+    """65536-entry fast-decode LUT: entry[p] = (length << 8) | symbol for
+    the code matching 16-bit prefix p; 0 = invalid. Built once per table
+    (cached) — turns Huffman decode into one peek + one array index."""
+    lut = np.zeros(1 << 16, dtype=np.uint32)
     code = 0
+    k = 0
     for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            k += 1
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (length << 8) | sym
+            code += 1
+        code <<= 1
+    return lut
+
+
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], np.ndarray] = {}
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
+    key = (tuple(bits), tuple(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = _LUT_CACHE[key] = _decode_lut(*key)
+    return lut
+
+
+def _huff_decode(br: _BitReader, lut: np.ndarray) -> int:
+    e = int(lut[br.peek16()])
+    if e == 0:
+        raise ValueError("invalid Huffman code")
+    br.consume(e >> 8)
+    return e & 0xFF
 
 
 # -- encoder ------------------------------------------------------------------
@@ -564,19 +620,29 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         bh_ = mcuy * vi
         stores.append(np.zeros((bh_ * bw_, 64), dtype=np.int64))
 
-    br = _BitReader(data, entropy_pos)
+    segs = _split_entropy(data, entropy_pos)
+    if restart_interval:
+        expected = -(-(mcux * mcuy) // restart_interval)
+        if len(segs) != expected:
+            raise ValueError(
+                f"restart segment count {len(segs)} != expected {expected}"
+            )
+    elif len(segs) != 1:
+        raise ValueError("RST markers present but no DRI segment")
+    br = _BitReader(segs[0])
+    tabs = [
+        (htables[(0, comp_tabs[cid][0])], htables[(1, comp_tabs[cid][1])])
+        for cid, _hi, _vi, _tq in comps
+    ]
     preds = [0] * len(comps)
     n_mcu = mcux * mcuy
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
-            marker = br.align_to_marker()
-            if not (0xD0 <= marker <= 0xD7):
-                raise ValueError(f"expected RST marker, got {marker:#x}")
+            br = _BitReader(segs[m // restart_interval])
             preds = [0] * len(comps)
         my, mx = divmod(m, mcux)
         for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_tab = htables[(0, comp_tabs[cid][0])]
-            ac_tab = htables[(1, comp_tabs[cid][1])]
+            dc_tab, ac_tab = tabs[ci]
             for dy in range(vi):
                 for dx in range(hi):
                     zz, preds[ci] = _decode_block(br, dc_tab, ac_tab, preds[ci])

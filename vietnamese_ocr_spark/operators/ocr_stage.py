@@ -84,11 +84,15 @@ def salted_repartition(df: DataFrame, n_partitions: int, weight_col: str = "size
     The salt space MUST comfortably exceed the partition count: payload
     sizes cluster into very few buckets, so (bucket x salt) is the real key
     cardinality — with only ~8 salts most partitions receive zero rows
-    (measured: median task 0 rows, max 4.8k). 64x partitions keeps the
-    per-partition row-count variance under ~5%.
+    (measured: median task 0 rows, max 4.8k). Hash partitioning places
+    whole (bucket, salt) CELLS binomially, so per-partition row-count
+    variance ~ 1/sqrt(cells per partition): with one dominant size bucket
+    the round-3 64x multiplier left ~12% count spread at 8 partitions
+    (measured in the round-4 skew probe); 512x pushes it under ~4% while
+    the shuffle key stays tiny.
     """
     if salts_per_bucket is None:
-        salts_per_bucket = n_partitions * 64
+        salts_per_bucket = n_partitions * 512
     salted = df.withColumn("_bucket", size_bucket(F.col(weight_col))).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("media_ref")), F.lit(salts_per_bucket))
     )
