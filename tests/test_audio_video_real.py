@@ -1,0 +1,129 @@
+"""REAL audio/video decode paths (round-4): RIFF/WAVE PCM and MJPEG
+(concatenated JFIF). These replace the digest stubs for formats the
+engine's own pure-NumPy codecs can decode; the stubs stay only for
+container formats needing an ffmpeg-class demuxer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vietnamese_ocr_spark.functions.audio import wav_decode, wav_encode
+
+
+def _tone(sr: int = 16000, seconds: float = 0.5, hz: float = 440.0) -> np.ndarray:
+    t = np.arange(int(sr * seconds), dtype=np.float64) / sr
+    return (0.6 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_wav_roundtrip_16bit():
+    pcm = _tone()
+    out, sr = wav_decode(wav_encode(pcm, 16000, bits=16))
+    assert sr == 16000 and out.shape == pcm.shape
+    assert float(np.abs(out - pcm).max()) < 1.0 / 32000
+
+
+def test_wav_roundtrip_8bit_is_coarser_but_close():
+    pcm = _tone()
+    out, sr = wav_decode(wav_encode(pcm, 8000, bits=8))
+    assert sr == 8000
+    assert float(np.abs(out - pcm).max()) < 1.0 / 120
+
+
+def test_wav_stereo_averages_to_mono():
+    import struct
+
+    left = _tone(hz=440.0)
+    right = _tone(hz=880.0)
+    inter = np.empty(2 * len(left), dtype=np.float32)
+    inter[0::2], inter[1::2] = left, right
+    data = (
+        np.clip(np.round(inter.astype(np.float64) * 32767.0), -32768, 32767)
+        .astype("<i2").tobytes()
+    )
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, sr = wav_decode(wav)
+    assert sr == 16000 and len(out) == len(left)
+    assert float(np.abs(out - (left + right) / 2).max()) < 1e-3
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    with pytest.raises(ValueError):
+        wav_decode(b"OggS not a wav")
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)  # IEEE float
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="PCM"):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_real_wav_stage(spark):
+    """audio/wav assets run the REAL decoder through the Spark stage and
+    re-anchor to a single-process rerun with the same decode."""
+    from vietnamese_ocr_spark.operators.multimodal import (
+        ASSETS_DDL,
+        _wav_pcm,
+        audio_feature_row,
+        audio_features,
+    )
+
+    payloads = {
+        f"wav-{i}": wav_encode(_tone(hz=220.0 * (i + 1)), 16000) for i in range(3)
+    }
+    rows = [
+        (aid, "audio", "audio/wav", bytearray(p), None, None, 16000, 500, None)
+        for aid, p in payloads.items()
+    ]
+    assets = spark.createDataFrame(rows, ASSETS_DDL)
+    got = {r["asset_id"]: r for r in audio_features(assets).collect()}
+    for aid, p in payloads.items():
+        want = audio_feature_row(p, 16000, 500, decode=_wav_pcm)
+        assert got[aid]["features_md5"] == want["features_md5"]
+        assert got[aid]["n_samples"] == 8000  # the FILE's length, not the hint
+
+
+def test_mjpeg_frame_split_and_phash():
+    from vietnamese_ocr_spark.functions.imaging import decode_image, perceptual_hash
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+    from vietnamese_ocr_spark.operators.multimodal import _mjpeg_phash, mjpeg_frames
+
+    rng = np.random.default_rng(6)
+    base = (np.add.outer(np.arange(48), np.arange(64)) % 256).astype(np.uint8)
+    frames = [np.roll(base, 5 * i, axis=1) for i in range(4)]
+    payload = b"".join(jpeg_encode(f, 90) for f in frames)
+    split = mjpeg_frames(payload)
+    assert len(split) == 4
+    for i, fr in enumerate(split):
+        assert _mjpeg_phash(payload, i) == perceptual_hash(decode_image(fr))
+    with pytest.raises(ValueError, match="past end"):
+        _mjpeg_phash(payload, 4)
+    with pytest.raises(ValueError):
+        mjpeg_frames(b"no frames here")
+
+
+def test_video_frame_sample_real_mjpeg_stage(spark):
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+    from vietnamese_ocr_spark.operators.multimodal import (
+        ASSETS_DDL,
+        _mjpeg_phash,
+        video_frame_sample,
+    )
+
+    base = (np.add.outer(np.arange(32), np.arange(48)) % 256).astype(np.uint8)
+    payload = b"".join(jpeg_encode(np.roll(base, i, axis=0), 85) for i in range(25))
+    assets = spark.createDataFrame(
+        [("clip-0", "video", "video/mjpeg", bytearray(payload),
+          48, 32, None, None, 25)],
+        ASSETS_DDL,
+    )
+    rows = video_frame_sample(assets, every_nth=10).collect()
+    got = {r["frame_idx"]: r["phash"] for r in rows}
+    assert set(got) == {0, 10, 20}
+    for idx, ph in got.items():
+        assert ph == _mjpeg_phash(payload, idx)
+        assert len(ph) == 16 and int(ph, 16) >= 0

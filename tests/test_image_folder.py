@@ -14,12 +14,19 @@ from vietnamese_ocr_spark.sources.image_folder import folder_documents, read_ima
 def _write_pngs(root: str) -> dict[str, str]:
     vocab = Vocabulary()
     atlas = build_atlas(vocab)
-    truths = {"a1.png": "xin", "b2.png": "quên", "sub/c3.png": "đêm"}
+    truths = {"a1.png": "xin", "b2.png": "quên", "sub/c3.png": "đêm",
+              "d4.jpg": "chào"}
     for rel, truth in truths.items():
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        img = render_line(truth, 64, atlas)
         with open(path, "wb") as f:
-            f.write(png_encode(render_line(truth, 64, atlas)))
+            if rel.endswith(".jpg"):
+                from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+
+                f.write(jpeg_encode(img, quality=100))
+            else:
+                f.write(png_encode(img))
     # a decoy that must NOT match the glob
     with open(os.path.join(root, "notes.txt"), "w") as f:
         f.write("not an image")

@@ -336,3 +336,24 @@ def preprocess(arr: np.ndarray) -> np.ndarray:
     g = autocontrast(g)
     g = invert_rescale(g)
     return center_pad(g)
+
+
+def perceptual_hash(gray: np.ndarray) -> str:
+    """64-bit DCT perceptual hash (the classic pHash recipe): resize to
+    32x32, 2-D DCT-II, keep the 8x8 low-frequency block, threshold each
+    coefficient against the median (DC excluded), pack to 16 hex chars.
+    Near-duplicate frames differ in a few bits; unrelated frames in ~32.
+    Deterministic float64 matrix DCT — no library dependency."""
+    small = resize_bilinear(grayscale(gray), 32, 32).astype(np.float64)
+    n = 32
+    k = np.arange(n, dtype=np.float64)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    coef = c @ small @ c.T
+    low = coef[:8, :8].reshape(-1)
+    ac = low[1:]
+    bits = ac > np.median(ac)
+    val = 0
+    for b in bits:  # 63 bits + a parity bit keeps it 64 wide
+        val = (val << 1) | int(b)
+    val = (val << 1) | (int(bits.sum()) & 1)
+    return f"{val:016x}"

@@ -1,0 +1,489 @@
+"""Minimal PDF text + layout parser (and fixture writer), pure stdlib.
+
+north_rule names "PDF/layout parse" as part of the main-content
+extraction pipeline; this module implements the text-bearing subset that
+covers machine-generated text PDFs:
+
+  parse:  classic xref-table PDFs, indirect objects, dictionaries /
+          arrays / names / strings (literal + hex, with escapes),
+          streams with direct or indirect /Length, FlateDecode,
+          page tree traversal (/Root -> /Pages -> /Kids), content-stream
+          text operators BT/ET, Tf, Td, TD, Tm, T*, Tj, ', and TJ.
+  layout: each shown string is recorded with its device-space (x, y)
+          and font size; `pdf_lines` groups spans into lines by
+          y-proximity and orders them top-to-bottom, left-to-right —
+          the reading-order reconstruction step of layout parsing.
+  write:  `pdf_encode` emits deterministic single-font PDFs (optionally
+          Flate-compressed content streams) so fixtures and oracles can
+          round-trip without any external PDF library.
+
+Out of scope (quarantined with ValueError, same contract as the image
+codecs): encrypted PDFs, cross-reference STREAMS (PDF 1.5+ compressed
+xref), CID/Type0 composite fonts, and non-Flate stream filters.
+Coordinates are used as given (no CTM stack beyond Tm), which is exact
+for the overwhelmingly common one-transform text PDFs this targets.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# -- writer (fixtures / oracle side) -----------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    out = s.encode("latin-1", errors="replace")
+    return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def pdf_encode(
+    pages: list[list[tuple[float, float, float, str]]], compress: bool = True
+) -> bytes:
+    """pages = [[(x, y, font_size, text), ...], ...] -> PDF bytes.
+
+    Deterministic; one Helvetica font; each span becomes Tf/Td/Tj inside
+    one BT/ET block. `compress=True` Flate-encodes the content streams
+    (the common case real parsers must handle)."""
+    objs: list[bytes] = []  # 1-indexed
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids: list[int] = []
+    content_ids: list[int] = []
+    for spans in pages:
+        parts = [b"BT"]
+        for x, y, size, text in spans:
+            # Tm (absolute line matrix), not Td (relative): each span is
+            # positioned independently at its (x, y)
+            parts.append(
+                b"/F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm (%s) Tj"
+                % (size, x, y, _esc(text))
+            )
+        parts.append(b"ET")
+        stream = b"\n".join(parts)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream, 6)
+            filt = b" /Filter /FlateDecode"
+        content_ids.append(
+            add(
+                b"<< /Length %d%s >>\nstream\n" % (len(stream), filt)
+                + stream
+                + b"\nendstream"
+            )
+        )
+    pages_id = len(objs) + len(pages) + 1  # forward ref: pages node after pages
+    for cid in content_ids:
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_id, font, cid)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    real_pages_id = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
+    )
+    assert real_pages_id == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    )
+    return bytes(out)
+
+
+# -- tokenizer / object parser ------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d = self.data
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # % comment
+                nl = d.find(b"\n", self.pos)
+                self.pos = len(d) if nl < 0 else nl + 1
+            else:
+                break
+
+    def peek_raw(self, n: int) -> bytes:
+        self._skip_ws()
+        return self.data[self.pos : self.pos + n]
+
+    def value(self):
+        """Parse one object value at the cursor."""
+        self._skip_ws()
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("unexpected end of PDF data")
+        c = d[p]
+        if d[p : p + 2] == b"<<":
+            return self._dict()
+        if c == 0x3C:  # <hex string>
+            return self._hex_string()
+        if c == 0x28:  # (literal string)
+            return self._literal_string()
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x5B:  # [array]
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.data[self.pos : self.pos + 1] == b"]":
+                    self.pos += 1
+                    return arr
+                arr.append(self.value())
+        m = _NUM_RE.match(d, p)
+        if m:
+            # could be "N G R" indirect reference
+            save = self.pos
+            self.pos = m.end()
+            rest = self.data[self.pos :]
+            m2 = re.match(rb"\s+(\d+)\s+R\b", rest)
+            if m2 and b"." not in m.group(0):
+                self.pos += m2.end()
+                return ("ref", int(m.group(0)), int(m2.group(1)))
+            txt = m.group(0)
+            return float(txt) if b"." in txt else int(txt)
+        for kw, val in ((b"true", True), (b"false", False), (b"null", None)):
+            if d[p : p + len(kw)] == kw:
+                self.pos = p + len(kw)
+                return val
+        raise ValueError(f"bad PDF token at offset {p}: {d[p:p+16]!r}")
+
+    def _name(self) -> str:
+        d = self.data
+        p = self.pos + 1
+        out = bytearray()
+        while p < len(d) and d[p] not in _WS and d[p] not in _DELIM:
+            if d[p] == 0x23 and p + 2 < len(d):  # #xx escape
+                out.append(int(d[p + 1 : p + 3], 16))
+                p += 3
+            else:
+                out.append(d[p])
+                p += 1
+        self.pos = p
+        return "/" + out.decode("latin-1")
+
+    def _dict(self) -> dict:
+        self.pos += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                return out
+            key = self.value()
+            if not isinstance(key, str) or not key.startswith("/"):
+                raise ValueError("dictionary key must be a name")
+            out[key] = self.value()
+
+    def _hex_string(self) -> bytes:
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("unterminated hex string")
+        hexed = re.sub(rb"\s", b"", self.data[self.pos + 1 : end])
+        if len(hexed) % 2:
+            hexed += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hexed.decode("ascii"))
+
+    def _literal_string(self) -> bytes:
+        d = self.data
+        p = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while p < len(d):
+            c = d[p]
+            if c == 0x5C:  # backslash
+                nxt = d[p + 1 : p + 2]
+                esc = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                       b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+                if nxt in esc:
+                    out += esc[nxt]
+                    p += 2
+                elif nxt.isdigit():  # octal, 1-3 digits
+                    m = re.match(rb"\\([0-7]{1,3})", d[p:])
+                    out.append(int(m.group(1), 8) & 0xFF)
+                    p += m.end()
+                elif nxt in (b"\n", b"\r"):  # line continuation
+                    p += 2
+                else:
+                    p += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                p += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos = p + 1
+                    return bytes(out)
+                out.append(c)
+                p += 1
+            else:
+                out.append(c)
+                p += 1
+        raise ValueError("unterminated literal string")
+
+
+class PdfDocument:
+    """Parsed object store + page-tree resolution."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF")
+        if b"/Encrypt" in data:
+            raise ValueError("encrypted PDF not supported")
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self.streams: dict[int, bytes] = {}
+        self._scan_objects()
+        self.trailer = self._trailer()
+
+    def _scan_objects(self) -> None:
+        """Sequential scan for `N G obj` (robust to mild xref damage —
+        the same recovery path real readers use)."""
+        for m in _OBJ_RE.finditer(self.data):
+            num = int(m.group(1))
+            lex = _Lexer(self.data, m.end())
+            try:
+                val = lex.value()
+            except ValueError:
+                continue
+            if lex.peek_raw(6) == b"stream":
+                lex.pos += 6
+                # EOL after 'stream' keyword: CRLF or LF
+                if self.data[lex.pos : lex.pos + 2] == b"\r\n":
+                    lex.pos += 2
+                elif self.data[lex.pos : lex.pos + 1] == b"\n":
+                    lex.pos += 1
+                length = val.get("/Length") if isinstance(val, dict) else None
+                if isinstance(length, tuple):  # indirect length: resolve later
+                    raw_end = self.data.find(b"endstream", lex.pos)
+                    raw = self.data[lex.pos : raw_end].rstrip(b"\r\n")
+                else:
+                    raw = self.data[lex.pos : lex.pos + int(length or 0)]
+                self.streams[num] = raw
+            self.objects[num] = val
+
+    def _trailer(self) -> dict:
+        idx = self.data.rfind(b"trailer")
+        if idx >= 0:
+            return _Lexer(self.data, idx + 7).value()
+        raise ValueError(
+            "no classic trailer (cross-reference streams not supported)"
+        )
+
+    def resolve(self, v):
+        while isinstance(v, tuple) and v and v[0] == "ref":
+            v = self.objects.get(v[1])
+        return v
+
+    def stream_bytes(self, num: int) -> bytes:
+        obj = self.objects[num]
+        raw = self.streams.get(num, b"")
+        if not isinstance(obj, dict):
+            raise ValueError("stream object without dictionary")
+        length = self.resolve(obj.get("/Length"))
+        if isinstance(length, (int, float)):
+            raw = raw[: int(length)] if len(raw) > int(length) else raw
+        filt = self.resolve(obj.get("/Filter"))
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            if f == "/FlateDecode":
+                raw = zlib.decompress(raw)
+            else:
+                raise ValueError(f"unsupported stream filter {f}")
+        return raw
+
+    def pages(self) -> list[int]:
+        """Page object numbers in document order (depth-first /Kids)."""
+        root = self.resolve(self.trailer.get("/Root"))
+        if not isinstance(root, dict):
+            raise ValueError("missing /Root catalog")
+        out: list[int] = []
+
+        def walk(ref) -> None:
+            node = self.resolve(ref)
+            if not isinstance(node, dict):
+                return
+            if node.get("/Type") == "/Page":
+                out.append(ref[1] if isinstance(ref, tuple) else -1)
+                return
+            for kid in self.resolve(node.get("/Kids")) or []:
+                walk(kid)
+
+        walk(root.get("/Pages"))
+        return out
+
+    def page_content(self, page_num: int) -> bytes:
+        page = self.objects[page_num]
+        contents = self.resolve(page.get("/Contents"))
+        refs = contents if isinstance(contents, list) else [page.get("/Contents")]
+        parts = []
+        for r in refs:
+            rr = r if isinstance(r, tuple) else None
+            if rr is None:
+                continue
+            parts.append(self.stream_bytes(rr[1]))
+        return b"\n".join(parts)
+
+
+# -- content-stream text interpreter -----------------------------------------
+
+_OP_RE = re.compile(
+    rb"\(|\<(?![<])|\[|/[^\s()<>\[\]{}/%]*|[+-]?(?:\d+\.?\d*|\.\d+)|[A-Za-z'\"*]+"
+)
+
+
+def _page_spans(content: bytes) -> list[dict]:
+    """Interpret BT/ET text blocks: returns [{x, y, size, text}, ...].
+
+    Tracks Td/TD/Tm/T* line matrices and the current font size; TJ
+    array elements concatenate (kerning numbers ignored for text
+    purposes). Coordinates are the text-line origin in device space."""
+    spans: list[dict] = []
+    lex = _Lexer(content)
+    stack: list = []
+    x = y = 0.0
+    leading = 0.0
+    size = 0.0
+    in_text = False
+    while True:
+        lex._skip_ws()
+        if lex.pos >= len(content):
+            break
+        c = content[lex.pos]
+        if c in b"([</+-.0123456789" or (c == 0x3C):
+            stack.append(lex.value())
+            continue
+        m = _OP_RE.match(content, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group(0)
+        lex.pos = m.end()
+        if op == b"BT":
+            in_text, x, y = True, 0.0, 0.0
+            stack.clear()
+        elif op == b"ET":
+            in_text = False
+            stack.clear()
+        elif not in_text:
+            stack.clear()
+        elif op == b"Tf":
+            size = float(stack[-1]) if stack else 0.0
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 2:
+                x += float(stack[-2])
+                y += float(stack[-1])
+                if op == b"TD":
+                    leading = -float(stack[-1])
+            stack.clear()
+        elif op == b"Tm":
+            if len(stack) >= 6:
+                x, y = float(stack[-2]), float(stack[-1])
+            stack.clear()
+        elif op == b"TL":
+            leading = float(stack[-1]) if stack else leading
+            stack.clear()
+        elif op == b"T*":
+            y -= leading if leading else size * 1.2
+            stack.clear()
+        elif op in (b"Tj", b"'"):
+            if op == b"'":
+                y -= leading if leading else size * 1.2
+            if stack and isinstance(stack[-1], bytes):
+                spans.append(
+                    {"x": x, "y": y, "size": size,
+                     "text": stack[-1].decode("latin-1")}
+                )
+            stack.clear()
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                text = "".join(
+                    el.decode("latin-1")
+                    for el in stack[-1]
+                    if isinstance(el, bytes)
+                )
+                spans.append({"x": x, "y": y, "size": size, "text": text})
+            stack.clear()
+        else:
+            stack.clear()
+    return spans
+
+
+def pdf_extract_spans(data: bytes) -> list[dict]:
+    """PDF bytes -> [{page, x, y, size, text}, ...] in emission order."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for pno, pnum in enumerate(doc.pages()):
+        for s in _page_spans(doc.page_content(pnum)):
+            out.append({"page": pno, **s})
+    return out
+
+
+def pdf_lines(data: bytes, y_tol: float = 2.0) -> list[dict]:
+    """Layout parse: group spans into LINES by y-proximity per page, order
+    top-to-bottom then left-to-right — the reading-order reconstruction
+    text PDFs need (emission order is arbitrary in real files). Returns
+    [{page, line_no, y, text}, ...]."""
+    spans = pdf_extract_spans(data)
+    out: list[dict] = []
+    for page in sorted({s["page"] for s in spans}):
+        rows = [s for s in spans if s["page"] == page]
+        rows.sort(key=lambda s: (-s["y"], s["x"]))
+        lines: list[list[dict]] = []
+        for s in rows:
+            if lines and abs(lines[-1][0]["y"] - s["y"]) <= y_tol:
+                lines[-1].append(s)
+            else:
+                lines.append([s])
+        for i, ln in enumerate(lines):
+            ln.sort(key=lambda s: s["x"])
+            out.append(
+                {
+                    "page": page,
+                    "line_no": i,
+                    "y": round(ln[0]["y"], 2),
+                    "text": " ".join(s["text"] for s in ln),
+                }
+            )
+    return out
+
+
+def pdf_main_text(data: bytes) -> str:
+    """Whole-document reading-order text (lines joined with newlines)."""
+    return "\n".join(line["text"] for line in pdf_lines(data))

@@ -7,12 +7,14 @@ vectorized stages. This container has no cv2/PIL/ffmpeg, so:
   * IMAGE ops are REAL: 8-bit PNG (gray/RGB/palette/alpha, all five
     scanline filters) and baseline JPEG (4:4:4 and 4:2:0), both pure
     NumPy (functions/imaging.py, functions/jpeg.py);
-  * AUDIO decode and VIDEO frame decode are STUBS — clearly marked: a
-    deterministic fake signal derived from the payload digest stands in
-    for PCM/frames (`_fake_pcm`, `_fake_frame_digest`), and unknown mimes
-    raise NotImplementedError. The Spark-side plumbing — schemas,
-    partitioning, mapInPandas signatures, Arrow batch shapes — is real
-    and tested, so swapping a real codec in changes one function.
+  * AUDIO is REAL for `audio/wav` (RIFF PCM 8/16-bit, functions/audio.py)
+    and VIDEO is REAL for `video/mjpeg` (concatenated-JFIF frames decoded
+    by functions/jpeg.py, hashed by the DCT perceptual hash). The digest
+    STUBS remain, clearly marked, for container formats that need an
+    ffmpeg-class demuxer (`audio/pcm-stub`, `video/frames-stub`); unknown
+    mimes raise NotImplementedError. A new decoder lands via
+    `register_codec(mime, fn, kind)` — stages snapshot the registry into
+    their closures, so no stage code changes.
 
 Asset table schema:
   assets(asset_id string, kind string,           -- image|audio|video
@@ -158,6 +160,9 @@ def audio_feature_row(
     driver's canonicalizer gets a scalar column instead of an array."""
     n = max(frame, int(int(sr) * int(dur_ms) / 1000))
     pcm = decode(payload, n)
+    if len(pcm) < frame:  # a real container may be shorter than the hint
+        pcm = np.pad(pcm, (0, frame - len(pcm)))
+    n = len(pcm)  # actual decoded length (== hint for the stub codec)
     usable = (len(pcm) // frame) * frame
     frames = pcm[:usable].reshape(-1, frame)
     rms = np.sqrt(np.einsum("nf,nf->n", frames, frames) / frame)
@@ -289,3 +294,54 @@ def image_decode_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "fmt", "payload").mapInPandas(
         stage, DECODE_STATS_DDL
     )
+
+
+# -- REAL audio/video decode paths (round-4) ----------------------------------
+#
+# WAV (RIFF PCM) and MJPEG (concatenated JFIF frames) are fully decodable
+# with the engine's own pure-NumPy codecs, so those mimes get REAL default
+# registrations; the digest stubs remain only for container formats with
+# no decoder in this runtime (mp4/mkv/ogg need ffmpeg-class demuxers).
+
+def _wav_pcm(payload: bytes, n_samples: int) -> np.ndarray:
+    """REAL decode: RIFF/WAVE PCM -> mono float32. The n_samples hint is
+    ignored — a real container carries its own length."""
+    from ..functions.audio import wav_decode
+
+    pcm, _sr = wav_decode(bytes(payload))
+    return pcm
+
+
+def mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Split a concatenated-JFIF (MJPEG-style) payload into frames. Raw
+    FFD9 never occurs inside entropy data (it would be FF00-stuffed), so
+    SOI..EOI spans are unambiguous frame boundaries."""
+    frames: list[bytes] = []
+    pos = 0
+    while True:
+        s = payload.find(b"\xff\xd8", pos)
+        if s < 0:
+            break
+        e = payload.find(b"\xff\xd9", s)
+        if e < 0:
+            raise ValueError("truncated MJPEG frame (no EOI)")
+        frames.append(payload[s : e + 2])
+        pos = e + 2
+    if not frames:
+        raise ValueError("no JFIF frames in MJPEG payload")
+    return frames
+
+
+def _mjpeg_phash(payload: bytes, frame_idx: int) -> str:
+    """REAL decode: frame `frame_idx` of a concatenated-JFIF payload ->
+    64-bit DCT perceptual hash (functions/imaging.perceptual_hash)."""
+    from ..functions.imaging import decode_image, perceptual_hash
+
+    frames = mjpeg_frames(bytes(payload))
+    if frame_idx >= len(frames):
+        raise ValueError(f"frame {frame_idx} past end ({len(frames)} frames)")
+    return perceptual_hash(decode_image(frames[frame_idx]))
+
+
+_AUDIO_CODECS["audio/wav"] = _wav_pcm
+_VIDEO_CODECS["video/mjpeg"] = _mjpeg_phash

@@ -22,13 +22,17 @@ from pyspark.sql import functions as F
 
 
 def read_image_folder(
-    spark: SparkSession, directory: str, glob: str = "*.png"
+    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg}"
 ) -> DataFrame:
     """Directory of image files -> media(media_ref, png, size_b).
 
     media_ref = the file's base name (matching the reference, which keys
     its predictions by file name — src/utils/inference.py:105-111).
-    Recursive so nested date=.../shard=... layouts work unchanged.
+    Recursive so nested date=.../shard=... layouts work unchanged. The
+    default glob admits PNG and JPEG — both decode through the
+    functions/imaging.decode_image seam (the reference accepts anything
+    PIL opens, src/utils/inference.py:125); the `png` column name is the
+    media-schema contract, the bytes may be either container.
     """
     raw = (
         spark.read.format("binaryFile")
