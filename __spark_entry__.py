@@ -140,6 +140,7 @@ _GOLDEN_COLS = {
     "image_decode_stats": (
         "asset_id, fmt, decode_ok, width, height, mean_lum, ink_ratio"
     ),
+    "pdf_extract_lines": "asset_id, decode_ok, page, line_no, y, text",
 }
 
 

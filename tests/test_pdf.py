@@ -1,0 +1,106 @@
+"""PDF text + layout parse (functions/pdf.py, operators/pdfops.py) —
+the north_rule's "PDF/layout parse" leg of main-content extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vietnamese_ocr_spark.functions.pdf import (
+    pdf_encode,
+    pdf_extract_spans,
+    pdf_lines,
+    pdf_main_text,
+)
+
+
+def test_roundtrip_multi_page_flate_and_plain():
+    pages = [
+        [(72, 700, 12, "Hello world"), (72, 680, 12, "second line")],
+        [(72, 700, 10, "page two text")],
+    ]
+    for compress in (True, False):
+        data = pdf_encode(pages, compress=compress)
+        assert data.startswith(b"%PDF-1.4")
+        assert pdf_main_text(data) == "Hello world\nsecond line\npage two text"
+
+
+def test_layout_rebuilds_reading_order():
+    """Emission order in real PDFs is arbitrary; lines must come back
+    top-to-bottom and, within a line, left-to-right."""
+    scrambled = pdf_encode(
+        [[
+            (300.0, 100.0, 9, "bottom"),
+            (200.0, 700.0, 9, "top-right"),
+            (72.0, 400.0, 9, "middle"),
+            (72.0, 700.5, 9, "top-left"),  # same visual line as top-right
+        ]],
+        compress=False,
+    )
+    assert pdf_main_text(scrambled) == "top-left top-right\nmiddle\nbottom"
+    lines = pdf_lines(scrambled)
+    assert [ln["line_no"] for ln in lines] == [0, 1, 2]
+
+
+def test_string_escapes_and_parens():
+    text = r"a(b)c\d and (nested (parens)) fine"
+    data = pdf_encode([[(72, 700, 11, text)]], compress=False)
+    assert pdf_main_text(data) == text
+
+
+def test_spans_carry_layout_metadata():
+    data = pdf_encode([[(72.5, 640.25, 14, "hello")]])
+    (span,) = pdf_extract_spans(data)
+    assert (span["page"], span["x"], span["y"], span["size"]) == (0, 72.5, 640.25, 14.0)
+
+
+def test_rejects_non_pdf_and_encrypted():
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf_extract_spans(b"%!PS not a pdf")
+    data = pdf_encode([[(72, 700, 11, "x")]], compress=False)
+    tampered = data.replace(b"/Root", b"/Encrypt 9 0 R /Root")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_extract_spans(tampered)
+
+
+def test_tj_array_and_relative_td():
+    """Hand-written content stream: TJ array concatenation and Td-relative
+    positioning (the operators pdf_encode doesn't emit)."""
+    import zlib
+
+    content = (
+        b"BT /F1 10 Tf 72 700 Td [(Hel) -20 (lo)] TJ 0 -20 Td (below) Tj ET"
+    )
+    data = pdf_encode([[(72, 500, 9, "anchor " * 20)]], compress=False)
+    # splice our stream in place of the generated one
+    start = data.index(b"stream\n") + 7
+    end = data.index(b"\nendstream")
+    old_len = end - start
+    data = data[:start] + content.ljust(old_len) + data[end:]
+    got = pdf_main_text(data)
+    assert got == "Hello\nbelow"
+
+
+def test_operator_stage_and_quarantine(spark):
+    from vietnamese_ocr_spark.operators.pdfops import pdf_extract_lines, pdf_line_rows
+
+    good = pdf_encode([[(72, 700, 11, "alpha beta"), (72, 684, 11, "gamma")]])
+    rows = [
+        ("pdf-good", bytearray(good)),
+        ("pdf-bad", bytearray(b"%PDF-1.4 truncated garbage")),
+    ]
+    assets = spark.createDataFrame(rows, "asset_id string, payload binary")
+    got = pdf_extract_lines(assets).collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert [r["text"] for r in sorted(by_asset["pdf-good"], key=lambda r: r["line_no"])] == [
+        "alpha beta", "gamma",
+    ]
+    (bad,) = by_asset["pdf-bad"]
+    assert bad["decode_ok"] is False and bad["text"] is None
+    # distributed == single-process
+    want = pdf_line_rows("pdf-good", good)
+    assert [(r["page"], r["line_no"], r["text"]) for r in sorted(
+        by_asset["pdf-good"], key=lambda r: (r["page"], r["line_no"])
+    )] == [(w["page"], w["line_no"], w["text"]) for w in want]

@@ -37,9 +37,9 @@ from .operators.multimodal import (
     decode_stats_row,
     image_stats,
 )
-from .sources.sf_adapter import _atlas, _derive, mixed_asset
+from .sources.sf_adapter import _atlas, _derive, mixed_asset, pdf_asset
 
-GOLDEN_VERSION = "r4-1"
+GOLDEN_VERSION = "r4-2"
 BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -54,6 +54,7 @@ GOLDEN_NAMES = (
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "image_decode_stats",
+    "pdf_extract_lines",
 )
 
 
@@ -209,6 +210,32 @@ def ensure_sf_golden(sf_dir: str) -> dict[str, str]:
             ),
         ),
         paths["image_decode_stats"],
+    )
+
+    # -- PDF layout parse (sf_adapter.pdf_asset derivation)
+    from .operators.pdfops import pdf_line_rows
+
+    pdf_rows = [
+        row
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if (a := pdf_asset(int(doc_id), text)) is not None
+        for row in pdf_line_rows(a["asset_id"], a["payload"])
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            pdf_rows,
+            schema=pa.schema(
+                [
+                    ("asset_id", pa.string()),
+                    ("decode_ok", pa.bool_()),
+                    ("page", pa.int32()),
+                    ("line_no", pa.int32()),
+                    ("y", pa.float64()),
+                    ("text", pa.string()),
+                ]
+            ),
+        ),
+        paths["pdf_extract_lines"],
     )
 
     # -- audio / video stub assets (mirrors plans/queries.py derivations)

@@ -1,0 +1,59 @@
+"""PDF text + layout extraction as a Spark stage (north_rule: the
+"PDF/layout parse" leg of main-content extraction).
+
+Assets are (asset_id, payload) rows with PDF bytes; the stage decodes
+each document with the pure-stdlib parser (functions/pdf.py), rebuilds
+reading order from the layout (emission order in real PDFs is
+arbitrary), and fans out one row per reconstructed line. Corrupt or
+unsupported payloads (encrypted, xref-stream, CID fonts) are
+quarantined as a single decode_ok=false row — at 10^12 docs a bad byte
+must never kill the job, same contract as the image stages."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PDF_LINES_DDL = (
+    "asset_id string, decode_ok boolean, page int, line_no int, "
+    "y double, text string"
+)
+
+
+def pdf_line_rows(asset_id: str, payload: bytes) -> list[dict]:
+    """One asset's reading-order lines (shared by stage + golden)."""
+    from ..functions.pdf import pdf_lines
+
+    try:
+        lines = pdf_lines(bytes(payload))
+    except Exception:
+        return [
+            {
+                "asset_id": asset_id, "decode_ok": False,
+                "page": None, "line_no": None, "y": None, "text": None,
+            }
+        ]
+    return [
+        {"asset_id": asset_id, "decode_ok": True, **line} for line in lines
+    ]
+
+
+def pdf_extract_lines(assets: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> per-line rows in reading order.
+
+    Payload bytes enter exactly one Arrow-batched stage; only scalar
+    line rows come out — PDFs never cross a shuffle."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.extend(pdf_line_rows(asset_id, payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "decode_ok", "page", "line_no", "y", "text"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(stage, PDF_LINES_DDL)

@@ -418,6 +418,18 @@ def q_image_decode_stats(spark, sf):
     return image_decode_stats(derive_mixed_assets(spark, sf))
 
 
+def q_pdf_extract_lines(spark, sf):
+    """PDF/layout parse (north_rule): deterministic text PDFs derived
+    in-executors from the documents table (emission order scrambled,
+    mixed Flate/plain streams, multi-page), decoded by the pure-stdlib
+    parser (functions/pdf.py) with reading order rebuilt from layout.
+    Value-checked against the single-process golden."""
+    from ..operators.pdfops import pdf_extract_lines
+    from ..sources.sf_adapter import derive_pdf_assets
+
+    return pdf_extract_lines(derive_pdf_assets(spark, sf))
+
+
 def q_multimodal_audio_features(spark, sf):
     """Stub-decoded audio assets derived deterministically from documents;
     exercises the framed-feature mapInPandas plumbing. The driver surface
@@ -1809,6 +1821,7 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "image_decode_stats": q_image_decode_stats,
+    "pdf_extract_lines": q_pdf_extract_lines,
     # text-analysis family
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1849,7 +1862,6 @@ QUERIES = {
     "conf_histogram": q_conf_histogram,
     "lineage_counts": q_lineage_counts,
     "stitch_order": q_stitch_order,
-    "batch_slices": q_batch_slices,
     "concat_aug": q_concat_aug,
     "union_merge": q_union_merge,
     "epoch_shuffle": q_epoch_shuffle,
@@ -1884,6 +1896,7 @@ EXTRA_QUERIES = {
     # (round-4) to admit tpch_q5/asof/sessionize/neardup_batch_mode;
     # verified by tests/test_oracle.py through the same compare harness
     "max_target_len": q_max_target_len,
+    "batch_slices": q_batch_slices,
     "top1_argmax": q_top1_argmax,
     "best_metric_gate": q_best_metric_gate,
     "running_mean": q_running_mean,

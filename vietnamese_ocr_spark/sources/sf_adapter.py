@@ -209,3 +209,51 @@ def derive_mixed_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "fmt", "payload"])
 
     return base.mapInPandas(gen, MIXED_ASSETS_SCHEMA)
+
+
+# -- deterministic PDF assets (round-4: the PDF/layout-parse surface) ---------
+
+PDF_ASSETS_SCHEMA = "asset_id string, payload binary"
+
+
+def pdf_asset(doc_id: int, text: str) -> dict | None:
+    """Derive one deterministic text PDF for doc_id % 3 == 1: the doc's
+    words wrapped 6 per line, paginated 8 lines per page; emission order
+    is REVERSED inside each page (real generators emit in arbitrary
+    order — the extractor must rebuild reading order from layout, which
+    is exactly what the oracle checks). Every 4th asset leaves its
+    content streams uncompressed; the rest are FlateDecode. Pure
+    function of (doc_id, text), shared by the Spark derivation and the
+    golden generator."""
+    if doc_id % 3 != 1:
+        return None
+    from ..functions.pdf import pdf_encode
+
+    words = [w for w in text.split(" ") if w][:96] or ["empty"]
+    lines = [" ".join(words[i : i + 6]) for i in range(0, len(words), 6)]
+    pages: list[list[tuple[float, float, float, str]]] = []
+    for p in range(0, len(lines), 8):
+        page_lines = lines[p : p + 8]
+        spans = [
+            (72.0, 720.0 - 16.0 * i, 11.0, ln)
+            for i, ln in enumerate(page_lines)
+        ]
+        spans.reverse()  # scrambled emission order: layout must fix it
+        pages.append(spans)
+    payload = pdf_encode(pages, compress=(doc_id // 3) % 4 != 0)
+    return {"asset_id": f"pdf-{doc_id:08d}", "payload": payload}
+
+
+def derive_pdf_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                a
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+                if (a := pdf_asset(int(doc_id), text)) is not None
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return base.mapInPandas(gen, PDF_ASSETS_SCHEMA)
