@@ -104,3 +104,36 @@ def test_operator_stage_and_quarantine(spark):
     assert [(r["page"], r["line_no"], r["text"]) for r in sorted(
         by_asset["pdf-good"], key=lambda r: (r["page"], r["line_no"])
     )] == [(w["page"], w["line_no"], w["text"]) for w in want]
+
+
+def test_pdf_folder_feeds_full_extraction(spark, tmp_path):
+    """Directory of PDFs -> the REAL extraction pipeline (normalize +
+    stitch): each PDF becomes one document whose text spans are the
+    layout-ordered lines, boilerplate-normalized like any text span."""
+    import os
+
+    from vietnamese_ocr_spark.plans.extract import broadcast_weights, extract_df
+    from vietnamese_ocr_spark.sources.pdf_folder import read_pdf_folder
+
+    docs_dir = str(tmp_path / "pdfs")
+    os.makedirs(docs_dir)
+    with open(os.path.join(docs_dir, "a.pdf"), "wb") as f:
+        f.write(pdf_encode([[(72, 700, 11, "hello line one"),
+                             (72, 684, 11, "line two")]]))
+    with open(os.path.join(docs_dir, "b.pdf"), "wb") as f:
+        f.write(pdf_encode([[(72, 700, 11, "<nav>menu</nav><p>real body</p>")]]))
+    with open(os.path.join(docs_dir, "broken.pdf"), "wb") as f:
+        f.write(b"%PDF-1.4 not really")
+    with open(os.path.join(docs_dir, "notes.txt"), "w") as f:
+        f.write("decoy")
+
+    documents = read_pdf_folder(spark, docs_dir)
+    media = spark.createDataFrame([], "media_ref string, png binary, size_b long")
+    extracted, _ = extract_df(spark, documents, media, broadcast_weights(spark))
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+           for r in extracted.collect()}
+    assert set(got) == {"a.pdf", "b.pdf", "broken.pdf"}
+    assert got["a.pdf"] == [("text", "hello line one", 0), ("text", "line two", 1)]
+    # the boilerplate-strip normalize leg applies to PDF text spans too
+    assert got["b.pdf"] == [("text", "real body", 0)]
+    assert got["broken.pdf"] == []  # quarantined, doc survives empty

@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
         "the reference's primary input mode (one doc per image)",
     )
     ex.add_argument(
+        "--pdfs",
+        help="raw directory of PDF files instead of --documents/--media — "
+        "each PDF parses to one text-span document (layout reading order)",
+    )
+    ex.add_argument(
         "--jsonl",
         action="store_true",
         help="treat --documents/--media as JSONL (media payloads base64) "
@@ -295,8 +300,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"generated": paths}))
         return 0
 
-    if bool(args.images) == bool(args.documents and args.media):
-        p.error("pass either --images DIR or both --documents and --media")
+    n_modes = sum(bool(v) for v in (args.images, args.pdfs,
+                                     args.documents and args.media))
+    if n_modes != 1:
+        p.error("pass exactly one of --images DIR, --pdfs DIR, or both "
+                "--documents and --media")
 
     from .config import get_spark
     from .model.registry import DEFAULT_ENCODER
@@ -305,7 +313,24 @@ def main(argv: list[str] | None = None) -> int:
     encoder = args.encoder or DEFAULT_ENCODER
     spark = get_spark("extract-cli", master=args.master)
     try:
-        if args.images:
+        if args.pdfs:
+            from .sources.pdf_folder import read_pdf_folder
+
+            docs = read_pdf_folder(spark, args.pdfs)
+            # no media table: PDFs yield text spans only
+            empty_media = spark.createDataFrame(
+                [], "media_ref string, png binary, size_b long"
+            )
+            result = run_extract_frames(
+                spark,
+                docs,
+                empty_media,
+                args.out,
+                resume=not args.no_resume,
+                n_partitions=args.partitions,
+                encoder=encoder,
+            )
+        elif args.images:
             from .sources.image_folder import folder_documents, read_image_folder
 
             media_df = read_image_folder(spark, args.images)
