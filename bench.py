@@ -55,6 +55,7 @@ HEADLINE = [
     "neardup_batch_mode",
     "multimodal_image_stats",
     "image_decode_stats",
+    "pdf_extract_lines",
 ]
 
 

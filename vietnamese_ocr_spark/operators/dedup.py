@@ -53,19 +53,15 @@ def _spread(docs: DataFrame) -> DataFrame:
         if len(docs.inputFiles()) >= n:
             return docs
     except Exception:
-        pass  # can't enumerate source files — try the partition probe
-    # Non-file-backed plan (derived in-memory frame): fall back to the
-    # physical partition count before paying a full shuffle — a derived
-    # frame that already has >= n partitions must not be reshuffled on
-    # every dedup/shingle call. rdd.getNumPartitions() forces a
-    # DataFrame->RDD conversion and is unavailable under Spark Connect,
-    # hence the guard order: inputFiles first, this probe second,
-    # repartition only when both say "narrow".
-    try:
-        if docs.rdd.getNumPartitions() >= n:
-            return docs
-    except Exception:
-        pass  # Spark Connect: no RDD surface — respread is the safe default
+        pass  # non-file-backed plan — fall through to the respread
+    # Non-file-backed (derived) frames are ALWAYS respread. A partition-
+    # COUNT probe (rdd.getNumPartitions() >= n -> skip) was evaluated in
+    # round 4 and measured 25% SLOWER on dedup_minhash_pipeline at sf0.1
+    # (5.3-6.0s vs 4.1-4.6s steady-state): derived frames mid-pipeline
+    # (semi-joined candidate sets, banded buckets) have enough partitions
+    # but badly skewed occupancy, and the CPU-heavy shingle/signature
+    # projections downstream stall on the fat ones. Count does not imply
+    # balance; the round-robin respread is the cheaper end of that trade.
     return docs.repartition(n)
 
 
