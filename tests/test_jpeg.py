@@ -92,13 +92,72 @@ def test_quality_monotone_size():
     assert sizes == sorted(sizes)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_malformed_and_garbage():
     with pytest.raises(ValueError):
         jpeg_decode(b"\x89PNG\r\n\x1a\n")
-    # splice an SOF2 (progressive) marker where SOF0 sits
+    # splicing SOF2 over a BASELINE stream makes the full-spectral scan
+    # illegal as a progressive DC scan — must be rejected, not mis-decoded
     enc = bytearray(jpeg_encode(_gradient(), 80))
     enc[enc.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(enc))
+    # lossless (SOF3) and arithmetic (SOF9) remain unsupported
+    enc2 = bytearray(jpeg_encode(_gradient(), 80))
+    enc2[enc2.index(b"\xff\xc0") + 1] = 0xC3
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(enc2))
     with pytest.raises(ValueError):
         jpeg_decode(jpeg_encode(_gradient(), 80)[:40])  # truncated
+
+
+# -- progressive (SOF2): spectral selection + successive approximation -------
+
+def test_progressive_equals_baseline_exactly():
+    """The progressive scan script delivers the SAME quantized
+    coefficients as the baseline stream, so decode must be pixel-
+    identical — over dims (incl. non-multiples of 8/16), qualities,
+    subsampling, and content classes."""
+    rng = np.random.default_rng(3)
+    for h, w in [(48, 80), (17, 33), (7, 9), (1, 1), (31, 257)]:
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for q in (30, 85, 100):
+            assert np.array_equal(
+                jpeg_decode(jpeg_encode(g, q)),
+                jpeg_decode(jpeg_encode(g, q, progressive=True)),
+            ), (h, w, q)
+        c = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            assert np.array_equal(
+                jpeg_decode(jpeg_encode(c, 70, subsample=sub)),
+                jpeg_decode(jpeg_encode(c, 70, subsample=sub, progressive=True)),
+            ), (h, w, sub)
+    t = np.zeros((64, 200), np.uint8)
+    t[20:40, 30:180] = 255
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode(t, 95)),
+        jpeg_decode(jpeg_encode(t, 95, progressive=True)),
+    )
+
+
+def test_progressive_stream_structure():
+    g = _gradient()
+    enc = jpeg_encode(g, 85, progressive=True)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc  # SOF2, no SOF0
+    assert enc.count(b"\xff\xda") == 6  # gray scan script: 6 scans
+    c = np.stack([g, g, g], axis=-1)
+    enc3 = jpeg_encode(c, 85, subsample="420", progressive=True)
+    assert enc3.count(b"\xff\xda") == 10  # color scan script: 10 scans
+    assert jpeg_encode(g, 85, progressive=True) == jpeg_encode(g, 85, progressive=True)
+
+
+def test_progressive_through_decode_image_seam():
+    from vietnamese_ocr_spark.functions.imaging import decode_image
+
+    g = _gradient()
+    out = decode_image(jpeg_encode(g, 100, progressive=True))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart"):
+        jpeg_encode(_gradient(), 80, restart_interval=4, progressive=True)

@@ -218,8 +218,10 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _split_entropy(data: bytes, pos: int) -> list[bytes]:
-    """Split the entropy-coded stream into UNSTUFFED restart segments.
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded stream into UNSTUFFED restart
+    segments; returns (segments, absolute offset of the terminating
+    marker's 0xFF) so multi-scan (progressive) parsing can resume there.
 
     One vectorized scan finds every 0xFF; only those positions are
     visited in Python (stuffed 0x00s dropped, fill 0xFFs dropped, RSTn
@@ -252,7 +254,7 @@ def _split_entropy(data: bytes, pos: int) -> list[bytes]:
             break
     seg = np.delete(arr[start:end], [d - start for d in drops])
     segs.append(seg.tobytes())
-    return segs
+    return segs, pos + end
 
 
 class _BitReader:
@@ -348,6 +350,20 @@ def _huff_decode(br: _BitReader, lut: np.ndarray) -> int:
 
 # -- encoder ------------------------------------------------------------------
 
+# Progressive scans need EOBn symbols (r<<4 for r=1..14), which the Annex K
+# baseline AC tables do not define. This uniform 8-bit canonical table
+# covers every AC symbol a progressive scan can emit (15 EOBn + ZRL + 160
+# run/size codes = 176 codes <= 255). Compression is mediocre by design —
+# the table exists for coverage and determinism, not rate.
+_PROG_AC_SYMS = sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC = (_PROG_AC_BITS, _PROG_AC_SYMS)
+
+
 def _encode_block(zz: np.ndarray, pred: int, dc: dict, ac: dict, bw: _BitWriter) -> int:
     diff = int(zz[0]) - pred
     s = abs(diff).bit_length()
@@ -379,6 +395,110 @@ def _encode_block(zz: np.ndarray, pred: int, dc: dict, ac: dict, bw: _BitWriter)
     return int(zz[0])
 
 
+# -- progressive scan encoders (T.81 G.1.2, the libjpeg algorithms) ----------
+
+def _enc_flush_eobrun(state: dict, ac: dict, bw: _BitWriter) -> None:
+    e = state["eobrun"]
+    if e:
+        r = e.bit_length() - 1
+        code, length = ac[r << 4]
+        bw.put(code, length)
+        if r:
+            bw.put(e - (1 << r), r)
+        for bit in state["be_bits"]:  # correction bits saved with the run
+            bw.put(bit, 1)
+        state["eobrun"] = 0
+        state["be_bits"] = []
+
+
+def _enc_dc_first(block: np.ndarray, pred: int, dc: dict, al: int,
+                  bw: _BitWriter) -> int:
+    v = int(block[0]) >> al  # arithmetic shift, same as the decoder's <<
+    diff = v - pred
+    s = abs(diff).bit_length()
+    code, length = dc[s]
+    bw.put(code, length)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _enc_ac_first(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
+                  bw: _BitWriter, state: dict) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(block[k])
+        t = (t >> al) if t >= 0 else -((-t) >> al)  # trunc toward zero
+        if t == 0:
+            r += 1
+            continue
+        _enc_flush_eobrun(state, ac, bw)
+        while r > 15:
+            code, length = ac[0xF0]
+            bw.put(code, length)
+            r -= 16
+        s = abs(t).bit_length()
+        code, length = ac[(r << 4) | s]
+        bw.put(code, length)
+        bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _enc_flush_eobrun(state, ac, bw)
+
+
+def _enc_ac_refine(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
+                   bw: _BitWriter, state: dict) -> None:
+    """libjpeg encode_mcu_AC_refine (T.81 G.1.2.3 fig. G.7), exactly:
+    already-significant coefficients emit one correction bit, buffered
+    until the next symbol (or saved with a pending EOB run); newly-
+    significant ones emit (run<<4)|1 + sign. ZRLs are emitted AT the
+    position the 16-zero run completes — before buffering the current
+    coefficient's correction bit — and only while another newly-
+    significant coefficient is still coming (k <= EOB); a trailing run
+    folds into the EOB instead. Getting this ordering wrong desyncs the
+    decoder's correction-bit stream (found the hard way)."""
+    absv = [0] * (se + 1 - ss)
+    eob_pos = ss - 1  # position of the LAST newly-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(block[k])) >> al
+        absv[k - ss] = t
+        if t == 1:
+            eob_pos = k
+    br_bits: list[int] = []
+    r = 0
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_pos:
+            _enc_flush_eobrun(state, ac, bw)
+            code, length = ac[0xF0]
+            bw.put(code, length)
+            r -= 16
+            for bit in br_bits:
+                bw.put(bit, 1)
+            br_bits = []
+        if t > 1:  # already significant at this precision
+            br_bits.append(t & 1)
+            continue
+        _enc_flush_eobrun(state, ac, bw)
+        code, length = ac[(r << 4) | 1]
+        bw.put(code, length)
+        bw.put(1 if int(block[k]) >= 0 else 0, 1)
+        for bit in br_bits:
+            bw.put(bit, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        state["eobrun"] += 1
+        state["be_bits"].extend(br_bits)
+        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
+            _enc_flush_eobrun(state, ac, bw)
+
+
 def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -399,18 +519,140 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
     )
 
 
+def _encode_progressive(arr, color, h, w, subsample, ql, qc) -> bytes:
+    """Emit the libjpeg-default progressive scan script over the SAME
+    quantized coefficients the baseline path produces: DC first (Al=1,
+    interleaved) -> luma AC 1-5 and 6-63 at Al=2 / chroma AC 1-63 at
+    Al=1 -> AC refinements stepping Al to 0 -> DC refinement. Decoding
+    therefore reconstructs coefficient-identical blocks to the baseline
+    stream (the equivalence the tests assert)."""
+    if not color:
+        zz, bh, bw_ = _quantize_plane(arr, ql)
+        comps_info = [
+            dict(cid=1, dc_id=0, ac_id=0, dc_codes=_canonical_codes(*_DC_LUMA),
+                 zz=zz, store_bw=bw_, hi=1, vi=1, eff_bw=bw_, eff_bh=bh)
+        ]
+        hmax = vmax = 1
+    else:
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        if subsample == "420":
+            cb, cr = _subsample2(cb), _subsample2(cr)
+            H, W = -(-h // 16) * 16, -(-w // 16) * 16
+            y = np.pad(y, ((0, H - h), (0, W - w)), mode="edge")
+            cpad = lambda p: np.pad(  # noqa: E731
+                p, ((0, H // 2 - p.shape[0]), (0, W // 2 - p.shape[1])), mode="edge"
+            )
+            cb, cr = cpad(cb), cpad(cr)
+            hmax = vmax = 2
+        else:
+            hmax = vmax = 1
+        zzy, bhy, bwy = _quantize_plane(y, ql)
+        zzcb, bhc, bwc = _quantize_plane(cb, qc)
+        zzcr, _, _ = _quantize_plane(cr, qc)
+
+        def _eff(dim: int, f: int) -> int:
+            return -(-(-(-dim * f // hmax)) // 8)  # ceil(ceil(dim*f/hmax)/8)
+
+        dc_l = _canonical_codes(*_DC_LUMA)
+        dc_c = _canonical_codes(*_DC_CHROMA)
+        comps_info = [
+            dict(cid=1, dc_id=0, ac_id=0, dc_codes=dc_l, zz=zzy, store_bw=bwy,
+                 hi=hmax, vi=vmax, eff_bw=_eff(w, hmax), eff_bh=_eff(h, vmax)),
+            dict(cid=2, dc_id=1, ac_id=1, dc_codes=dc_c, zz=zzcb, store_bw=bwc,
+                 hi=1, vi=1, eff_bw=_eff(w, 1), eff_bh=_eff(h, 1)),
+            dict(cid=3, dc_id=1, ac_id=1, dc_codes=dc_c, zz=zzcr, store_bw=bwc,
+                 hi=1, vi=1, eff_bw=_eff(w, 1), eff_bh=_eff(h, 1)),
+        ]
+    prog_ac = _canonical_codes(*_PROG_AC)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    chunks: list[bytes] = []
+
+    def scan(sel: list[int], ss: int, se: int, ah: int, al: int) -> None:
+        sos = bytes([len(sel)])
+        for ci in sel:
+            info = comps_info[ci]
+            sos += bytes([info["cid"], (info["dc_id"] << 4) | info["ac_id"]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        bw_w = _BitWriter()
+        state = {"eobrun": 0, "be_bits": []}
+        if len(sel) > 1:  # interleaved DC scan: MCU order
+            preds = [0] * len(sel)
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for si, ci in enumerate(sel):
+                    info = comps_info[ci]
+                    for dy in range(info["vi"]):
+                        for dx in range(info["hi"]):
+                            block = info["zz"][
+                                (my * info["vi"] + dy) * info["store_bw"]
+                                + (mx * info["hi"] + dx)
+                            ]
+                            if ah == 0:
+                                preds[si] = _enc_dc_first(
+                                    block, preds[si], info["dc_codes"], al, bw_w
+                                )
+                            else:
+                                bw_w.put((int(block[0]) >> al) & 1, 1)
+        else:  # non-interleaved: the component's own block grid
+            ci = sel[0]
+            info = comps_info[ci]
+            pred = 0
+            for u in range(info["eff_bw"] * info["eff_bh"]):
+                by, bx = divmod(u, info["eff_bw"])
+                block = info["zz"][by * info["store_bw"] + bx]
+                if ss == 0:
+                    if ah == 0:
+                        pred = _enc_dc_first(block, pred, info["dc_codes"], al, bw_w)
+                    else:
+                        bw_w.put((int(block[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(block, ss, se, al, prog_ac, bw_w, state)
+                else:
+                    _enc_ac_refine(block, ss, se, al, prog_ac, bw_w, state)
+            _enc_flush_eobrun(state, prog_ac, bw_w)
+        chunks.append(
+            b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + bw_w.flush()
+        )
+
+    if color:
+        scan([0, 1, 2], 0, 0, 0, 1)
+        scan([0], 1, 5, 0, 2)
+        scan([1], 1, 63, 0, 1)
+        scan([2], 1, 63, 0, 1)
+        scan([0], 6, 63, 0, 2)
+        scan([0], 1, 63, 2, 1)
+        scan([0, 1, 2], 0, 0, 1, 0)
+        scan([1], 1, 63, 1, 0)
+        scan([2], 1, 63, 1, 0)
+        scan([0], 1, 63, 1, 0)
+    else:
+        scan([0], 0, 0, 0, 1)
+        scan([0], 1, 5, 0, 2)
+        scan([0], 6, 63, 0, 2)
+        scan([0], 1, 63, 2, 1)
+        scan([0], 0, 0, 1, 0)
+        scan([0], 1, 63, 1, 0)
+    return b"".join(chunks)
+
+
 def jpeg_encode(
     arr: np.ndarray,
     quality: int = 75,
     subsample: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode uint8 gray (HxW) or RGB (HxWx3) as baseline JFIF.
+    """Encode uint8 gray (HxW) or RGB (HxWx3) as JFIF.
 
     `subsample`: '444' (no chroma subsampling) or '420' (2x2) — color only.
     `restart_interval`: emit a DRI segment + RSTn markers every N MCUs
     (0 = none) — what a parallel encoder writes so decode can resync.
-    Deterministic: same array + options -> identical bytes.
+    `progressive`: emit SOF2 with the libjpeg-default scan script
+    (spectral selection + successive approximation for both DC and AC);
+    decodes to EXACTLY the same pixels as the baseline encoding at the
+    same quality/subsampling (same quantized coefficients, delivered in
+    a different order). Deterministic: same array + options -> same bytes.
     """
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("jpeg_encode expects uint8 HxW or HxWx3")
@@ -418,6 +660,8 @@ def jpeg_encode(
         raise ValueError("color input must be HxWx3 RGB")
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
+    if progressive and restart_interval:
+        raise ValueError("restart markers not supported with progressive")
     h, w = arr.shape[0], arr.shape[1]
     color = arr.ndim == 3
     ql = _quality_table(_Q_LUMA, quality)
@@ -430,20 +674,31 @@ def jpeg_encode(
     out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(int(x) for x in ql[ZZ])
     if color:
         out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x01" + bytes(int(x) for x in qc[ZZ])
-    # SOF0
+    # SOF0 (baseline) or SOF2 (progressive)
     ncomp = 3 if color else 1
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     hv_luma = 0x22 if (color and subsample == "420") else 0x11
     sof += bytes([1, hv_luma, 0])
     if color:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
 
     def dht(klass: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
         bits, vals = spec
         body = bytes([(klass << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
+    if progressive:
+        # custom AC table (EOBn symbols; Annex K lacks them) on both ids
+        out += dht(0, 0, _DC_LUMA) + dht(1, 0, _PROG_AC)
+        if color:
+            out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _PROG_AC)
+        return bytes(
+            out
+            + _encode_progressive(arr, color, h, w, subsample, ql, qc)
+            + b"\xff\xd9"
+        )
     out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
     if color:
         out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
@@ -540,16 +795,179 @@ def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, pred: int) -> tupl
     return zz, pred
 
 
+def _decode_one_scan(frame, scan_sel, ss, se, ah, al, segs, stores,
+                     htables, restart_interval) -> None:
+    """Decode one scan (baseline or progressive) into the coefficient
+    stores. Interleaved scans walk MCU order; single-component scans walk
+    the component's own ceil(dim/8) block grid (NOT mcu-padded — the
+    classic non-interleaved gotcha). Restart segments reset DC
+    predictors and the EOB run."""
+    fh, fw, comps, prog = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    interleaved = len(scan_sel) > 1
+    if prog and ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must be single-component")
+    if prog and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if prog and ah not in (0, al + 1):
+        raise ValueError("successive approximation must step Al by 1")
+    if interleaved:
+        n_units = mcux * mcuy
+        bw_eff = 0
+    else:
+        ci0 = scan_sel[0][0]
+        _cid, hi, vi, _tq = comps[ci0]
+        comp_w = -(-fw * hi // hmax)
+        comp_h = -(-fh * vi // vmax)
+        bw_eff = -(-comp_w // 8)
+        n_units = bw_eff * (-(-comp_h // 8))
+    expected = -(-n_units // restart_interval) if restart_interval else 1
+    if len(segs) != expected:
+        raise ValueError(
+            f"restart segment count {len(segs)} != expected {expected}"
+        )
+
+    br = _BitReader(segs[0])
+    preds = [0] * len(scan_sel)
+    eob = [0]
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            br = _BitReader(segs[u // restart_interval])
+            preds = [0] * len(scan_sel)
+            eob[0] = 0
+        for si, (ci, dct, act) in enumerate(scan_sel):
+            _cid, hi, vi, _tq = comps[ci]
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                blocks = [
+                    stores[ci][(my * vi + dy) * (mcux * hi) + (mx * hi + dx)]
+                    for dy in range(vi)
+                    for dx in range(hi)
+                ]
+            else:
+                by, bx = divmod(u, bw_eff)
+                blocks = [stores[ci][by * (mcux * hi) + bx]]
+            for block in blocks:
+                if not prog:
+                    zz, preds[si] = _decode_block(
+                        br, htables[(0, dct)], htables[(1, act)], preds[si]
+                    )
+                    block[:] = zz
+                elif ss == 0:
+                    if ah == 0:
+                        preds[si] = _dec_dc_first(
+                            br, htables[(0, dct)], block, preds[si], al
+                        )
+                    else:
+                        _dec_dc_refine(br, block, al)
+                elif ah == 0:
+                    _dec_ac_first(br, htables[(1, act)], block, ss, se, al, eob)
+                else:
+                    _dec_ac_refine(br, htables[(1, act)], block, ss, se, al, eob)
+
+
+# -- progressive block decoders (T.81 G.1.2 / G.2) ---------------------------
+
+def _dec_dc_first(br: _BitReader, dc_tab: np.ndarray, block: np.ndarray,
+                  pred: int, al: int) -> int:
+    s = _huff_decode(br, dc_tab)
+    diff = _extend(br.receive(s), s) if s else 0
+    pred += diff
+    block[0] = pred << al
+    return pred
+
+
+def _dec_dc_refine(br: _BitReader, block: np.ndarray, al: int) -> None:
+    if br.receive(1):
+        block[0] = int(block[0]) | (1 << al)
+
+
+def _dec_ac_first(br: _BitReader, ac_tab: np.ndarray, block: np.ndarray,
+                  ss: int, se: int, al: int, eob: list[int]) -> None:
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _huff_decode(br, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eob[0] = (1 << r) - 1  # EOBn: this block + (run-1) more
+            if r:
+                eob[0] += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        block[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(br: _BitReader, ac_tab: np.ndarray, block: np.ndarray,
+                   ss: int, se: int, al: int, eob: list[int]) -> None:
+    """T.81 G.1.2.3 (the libjpeg decode_mcu_AC_refine algorithm):
+    newly-significant coefficients arrive as ±2^Al; every already-
+    significant coefficient crossed on the way carries one correction
+    bit; EOB runs carry correction bits for the rest of the band."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            sym = _huff_decode(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.receive(r)
+                    break
+                # r == 15 (ZRL): skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.receive(1) else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if br.receive(1) and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            c = int(block[k])
+            if c != 0 and br.receive(1) and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline JFIF/JPEG. Returns uint8 HxW (gray) or HxWx3 RGB."""
+    """Decode a JFIF/JPEG: baseline (SOF0/1) or progressive (SOF2) with
+    spectral selection + successive approximation. Returns uint8 HxW
+    (gray) or HxWx3 RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None  # (h, w, [(cid, hi, vi, tq)])
+    htables: dict[tuple[int, int], np.ndarray] = {}
+    frame = None  # (h, w, [(cid, hi, vi, tq)], progressive)
     restart_interval = 0
-    scan = None
+    stores: list[np.ndarray] = []
+    saw_scan = False
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -581,73 +999,56 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 bp += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
-            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            prec, fh_, fw_, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+            frame = (fh_, fw_, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw_ // (8 * hmax))
+            mcuy = -(-fh_ // (8 * vmax))
+            # per-component zigzag coefficient stores (mcu-aligned)
+            stores = [
+                np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.int64)
+                for _cid, hi, vi, _tq in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) or progressive (SOF2) JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            comp_tabs = {}
+            scan_sel = []  # (component index, dc table id, ac table id)
+            cid_to_ci = {c[0]: i for i, c in enumerate(frame[2])}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp_tabs[cs] = (tt >> 4, tt & 0x0F)
-            scan = (comp_tabs, pos + seglen)
-            break
+                scan_sel.append((cid_to_ci[cs], tt >> 4, tt & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segs, end_abs = _split_entropy(data, pos + seglen)
+            _decode_one_scan(
+                frame, scan_sel, ss, se, ah, al, segs, stores,
+                htables, restart_interval,
+            )
+            saw_scan = True
+            pos = end_abs
+            continue
         pos += seglen
 
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("truncated JPEG (no frame/scan)")
-    fh, fw, comps = frame
-    comp_tabs, entropy_pos = scan
+    fh, fw, comps, _prog = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
-
-    # per-component zigzag coefficient stores (mcu-aligned plane in blocks)
-    stores = []
-    for cid, hi, vi, tq in comps:
-        bw_ = mcux * hi
-        bh_ = mcuy * vi
-        stores.append(np.zeros((bh_ * bw_, 64), dtype=np.int64))
-
-    segs = _split_entropy(data, entropy_pos)
-    if restart_interval:
-        expected = -(-(mcux * mcuy) // restart_interval)
-        if len(segs) != expected:
-            raise ValueError(
-                f"restart segment count {len(segs)} != expected {expected}"
-            )
-    elif len(segs) != 1:
-        raise ValueError("RST markers present but no DRI segment")
-    br = _BitReader(segs[0])
-    tabs = [
-        (htables[(0, comp_tabs[cid][0])], htables[(1, comp_tabs[cid][1])])
-        for cid, _hi, _vi, _tq in comps
-    ]
-    preds = [0] * len(comps)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br = _BitReader(segs[m // restart_interval])
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_tab, ac_tab = tabs[ci]
-            for dy in range(vi):
-                for dx in range(hi):
-                    zz, preds[ci] = _decode_block(br, dc_tab, ac_tab, preds[ci])
-                    by, bx = my * vi + dy, mx * hi + dx
-                    stores[ci][by * (mcux * hi) + bx] = zz
 
     planes = []
     for ci, (cid, hi, vi, tq) in enumerate(comps):

@@ -175,11 +175,17 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
             "fmt": "png-palette",
             "payload": png_encode_palette(idx, palette),
         }
-    if variant in (6, 7):
+    if variant == 6:
         return {
             "asset_id": asset_id,
             "fmt": "jpeg-gray",
             "payload": jpeg_encode(img, quality=90),
+        }
+    if variant == 7:
+        return {
+            "asset_id": asset_id,
+            "fmt": "jpeg-gray-progressive",
+            "payload": jpeg_encode(img, quality=90, progressive=True),
         }
     if variant == 8:
         rgb = np.stack([img, img, 255 - img], axis=-1)
