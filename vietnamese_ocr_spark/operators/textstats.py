@@ -155,3 +155,32 @@ def fingerprint(docs: DataFrame, window: int = 5) -> DataFrame:
             F.md5(F.col("text")),
         ).alias("fp"),
     )
+
+
+def dom_main_content_stage(docs: DataFrame) -> DataFrame:
+    """Tree-aware main-content extraction (functions/dom.py): parse each
+    doc's HTML into an element tree, drop chrome SUBTREES (a <nav>
+    nested inside a kept <div> vanishes — the case the flat
+    densitometric extractor is structurally blind to), score block
+    elements by own-text length and subtree link density.
+
+    A DOM cannot be expressed in Catalyst expressions, so this is the
+    sanctioned Arrow-batched mapInPandas escape hatch (never per-row
+    Python UDFs). Prefer the JVM-side extract_main_content for flat
+    markup; reach for this stage when nesting matters."""
+    import pandas as pd
+
+    def stage(batches):
+        from ..functions.dom import dom_main_content
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "main_text": [dom_main_content(t) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        stage, "doc_id string, main_text string"
+    )
