@@ -166,7 +166,6 @@ class _Lexer:
         m = _NUM_RE.match(d, p)
         if m:
             # could be "N G R" indirect reference
-            save = self.pos
             self.pos = m.end()
             rest = self.data[self.pos :]
             m2 = re.match(rb"\s+(\d+)\s+R\b", rest)
