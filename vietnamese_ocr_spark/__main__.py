@@ -132,6 +132,15 @@ def main(argv: list[str] | None = None) -> int:
         help="after compacting, keep only the last N snapshots and delete "
         "files nothing retained references",
     )
+    mt.add_argument(
+        "--orphans-older-than",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="also delete data files referenced by NO snapshot whose "
+        "mtime is older than SECONDS (age-gated: young orphans may be a "
+        "concurrent writer's in-flight output or a pending OCC retry)",
+    )
     mt.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -185,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
             result = {"compact": table.compact(spark, target_file_mb=args.target_mb)}
             if args.expire_keep is not None:
                 result["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
+            if args.orphans_older_than is not None:
+                result["orphans"] = table.remove_orphans(args.orphans_older_than)
             print(json.dumps(result))
         finally:
             spark.stop()
