@@ -137,3 +137,36 @@ def test_pdf_folder_feeds_full_extraction(spark, tmp_path):
     # the boilerplate-strip normalize leg applies to PDF text spans too
     assert got["b.pdf"] == [("text", "real body", 0)]
     assert got["broken.pdf"] == []  # quarantined, doc survives empty
+
+
+def test_pdf15_object_streams_and_xref_stream():
+    """PDF 1.5 layout (what every modern generator emits): non-stream
+    objects packed in a Flate /ObjStm, trailer dict on a /Type /XRef
+    stream, NO classic trailer. The parser's ObjStm expansion + xref-
+    stream fallback must read it like a 1.4 file."""
+    from vietnamese_ocr_spark.functions.pdf import pdf_encode_15
+
+    pages = [
+        [(72, 700, 12, "Hello modern PDF"), (72, 680, 12, "object streams work")],
+        [(72, 700, 10, "second page here")],
+    ]
+    data = pdf_encode_15(pages)
+    assert data.startswith(b"%PDF-1.5") and b"trailer" not in data
+    assert b"/ObjStm" in data and b"/XRef" in data
+    assert pdf_main_text(data) == (
+        "Hello modern PDF\nobject streams work\nsecond page here"
+    )
+    # same content, both layouts, identical extraction
+    assert pdf_main_text(data) == pdf_main_text(pdf_encode(pages))
+
+
+def test_pdf15_through_operator_stage(spark):
+    from vietnamese_ocr_spark.functions.pdf import pdf_encode_15
+    from vietnamese_ocr_spark.operators.pdfops import pdf_extract_lines
+
+    data = pdf_encode_15([[(72, 700, 11, "packed object text line")]])
+    assets = spark.createDataFrame(
+        [("pdf15-0", bytearray(data))], "asset_id string, payload binary"
+    )
+    (row,) = pdf_extract_lines(assets).collect()
+    assert row["decode_ok"] and row["text"] == "packed object text line"

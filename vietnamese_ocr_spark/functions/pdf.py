@@ -109,6 +109,106 @@ def pdf_encode(
     return bytes(out)
 
 
+def pdf_encode_15(
+    pages: list[list[tuple[float, float, float, str]]]
+) -> bytes:
+    """PDF 1.5-style writer: every non-stream object (font, page dicts,
+    pages node, catalog) packed into a Flate /ObjStm, with a /Type /XRef
+    cross-reference STREAM instead of a classic trailer — the layout
+    every modern generator emits, and exactly the shape the parser's
+    ObjStm expansion + xref-stream trailer fallback exist for."""
+    n_pages = len(pages)
+    content_ids = list(range(1, n_pages + 1))
+    objstm_id = n_pages + 1
+    font_id = n_pages + 2
+    page_ids = [n_pages + 3 + i for i in range(n_pages)]
+    pages_id = n_pages + 3 + n_pages
+    catalog_id = pages_id + 1
+    xref_id = catalog_id + 1
+
+    contents = []
+    for spans in pages:
+        parts = [b"BT"]
+        for x, y, size, text in spans:
+            parts.append(
+                b"/F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm (%s) Tj"
+                % (size, x, y, _esc(text))
+            )
+        parts.append(b"ET")
+        contents.append(zlib.compress(b"\n".join(parts), 6))
+
+    packed: list[tuple[int, bytes]] = [
+        (font_id, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    ]
+    for pid, cid in zip(page_ids, content_ids):
+        packed.append(
+            (pid,
+             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+             % (pages_id, font_id, cid))
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    packed.append(
+        (pages_id, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages))
+    )
+    packed.append((catalog_id, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id))
+
+    offsets_in_stm = []
+    body = bytearray()
+    for _num, objbytes in packed:
+        offsets_in_stm.append(len(body))
+        body += objbytes + b" "
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(packed, offsets_in_stm)
+    ).encode("ascii") + b" "
+    stm_payload = zlib.compress(bytes(header) + bytes(body), 6)
+
+    out = bytearray(b"%PDF-1.5\n")
+    file_offsets: dict[int, int] = {}
+    for cid, stream in zip(content_ids, contents):
+        file_offsets[cid] = len(out)
+        out += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (cid, len(stream))
+            + stream
+            + b"\nendstream\nendobj\n"
+        )
+    file_offsets[objstm_id] = len(out)
+    out += (
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (objstm_id, len(packed), len(header), len(stm_payload))
+        + stm_payload
+        + b"\nendstream\nendobj\n"
+    )
+    # /Type /XRef stream: W=[1,2,1]; type-1 entries for top-level objects,
+    # type-2 (objstm, index) for packed ones
+    size = xref_id + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(2, "big") + bytes([255])
+        elif num in file_offsets:
+            rows += bytes([1]) + file_offsets[num].to_bytes(2, "big") + bytes([0])
+        elif num == xref_id:
+            rows += bytes([1]) + (0).to_bytes(2, "big") + bytes([0])  # patched
+        else:
+            idx = next(i for i, (n2, _) in enumerate(packed) if n2 == num)
+            rows += bytes([2]) + objstm_id.to_bytes(2, "big") + bytes([idx])
+    xref_at = len(out)
+    rows[xref_id * 4 + 1 : xref_id * 4 + 3] = xref_at.to_bytes(2, "big")
+    xdata = zlib.compress(bytes(rows), 6)
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 1] /Root %d 0 R "
+        b"/Length %d /Filter /FlateDecode >>\nstream\n"
+        % (xref_id, size, catalog_id, len(xdata))
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
 # -- tokenizer / object parser ------------------------------------------------
 
 _WS = b"\x00\t\n\x0c\r "
@@ -268,6 +368,7 @@ class PdfDocument:
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
         self._scan_objects()
+        self._expand_object_streams()
         self.trailer = self._trailer()
 
     def _scan_objects(self) -> None:
@@ -296,13 +397,37 @@ class PdfDocument:
                 self.streams[num] = raw
             self.objects[num] = val
 
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ packs most non-stream objects into compressed
+        /Type /ObjStm streams (the sequential `N G obj` scan cannot see
+        them). Expand each: the decompressed stream starts with N
+        (objnum, offset) integer pairs, then the objects themselves at
+        /First + offset. Direct top-level objects win on conflict."""
+        for num, obj in list(self.objects.items()):
+            if not (isinstance(obj, dict) and obj.get("/Type") == "/ObjStm"):
+                continue
+            payload = self.stream_bytes(num)
+            n = int(self.resolve(obj.get("/N")) or 0)
+            first = int(self.resolve(obj.get("/First")) or 0)
+            head = _Lexer(payload)
+            pairs = [(head.value(), head.value()) for _ in range(n)]
+            for onum, off in pairs:
+                onum = int(onum)
+                if onum in self.objects:
+                    continue  # a direct top-level definition wins
+                self.objects[onum] = _Lexer(payload, first + int(off)).value()
+
     def _trailer(self) -> dict:
         idx = self.data.rfind(b"trailer")
         if idx >= 0:
             return _Lexer(self.data, idx + 7).value()
-        raise ValueError(
-            "no classic trailer (cross-reference streams not supported)"
-        )
+        # PDF 1.5+ cross-reference STREAM: the trailer dict lives on the
+        # /Type /XRef stream object (we never need its index — objects
+        # come from the sequential scan + ObjStm expansion — only /Root)
+        for obj in self.objects.values():
+            if isinstance(obj, dict) and obj.get("/Type") == "/XRef":
+                return obj
+        raise ValueError("no trailer (classic or xref-stream) found")
 
     def resolve(self, v):
         while isinstance(v, tuple) and v and v[0] == "ref":
