@@ -227,13 +227,13 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
     words wrapped 6 per line, paginated 8 lines per page; emission order
     is REVERSED inside each page (real generators emit in arbitrary
     order — the extractor must rebuild reading order from layout, which
-    is exactly what the oracle checks). Every 4th asset leaves its
-    content streams uncompressed; the rest are FlateDecode. Pure
-    function of (doc_id, text), shared by the Spark derivation and the
-    golden generator."""
+    is exactly what the oracle checks). Layout rotates by asset: plain
+    1.4, Flate 1.4, and the modern PDF 1.5 object-stream/xref-stream
+    layout. Pure function of (doc_id, text), shared by the Spark
+    derivation and the golden generator."""
     if doc_id % 3 != 1:
         return None
-    from ..functions.pdf import pdf_encode
+    from ..functions.pdf import pdf_encode, pdf_encode_15
 
     words = [w for w in text.split(" ") if w][:96] or ["empty"]
     lines = [" ".join(words[i : i + 6]) for i in range(0, len(words), 6)]
@@ -246,7 +246,13 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
         ]
         spans.reverse()  # scrambled emission order: layout must fix it
         pages.append(spans)
-    payload = pdf_encode(pages, compress=(doc_id // 3) % 4 != 0)
+    mode = (doc_id // 3) % 4
+    if mode == 0:
+        payload = pdf_encode(pages, compress=False)
+    elif mode == 1:
+        payload = pdf_encode_15(pages)  # ObjStm + xref stream
+    else:
+        payload = pdf_encode(pages, compress=True)
     return {"asset_id": f"pdf-{doc_id:08d}", "payload": payload}
 
 
