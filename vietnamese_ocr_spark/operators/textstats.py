@@ -184,3 +184,46 @@ def dom_main_content_stage(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         stage, "doc_id string, main_text string"
     )
+
+
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    score each document by the mean log-probability of its word bigrams
+    under an add-1-smoothed bigram LM trained on the corpus itself —
+    low-probability documents are gibberish/boilerplate candidates the
+    perplexity gate drops before pre-training.
+
+    Shape at 100 TB: two corpus-wide count aggregations (unigrams,
+    bigrams — map-side combined), one broadcastable 1-row vocab size,
+    then per-doc terms join the count tables ON THEIR KEYS (shuffle
+    joins on word/bigram, never a cross product) and reduce per doc.
+    Pure Column expressions end to end — zero Python."""
+    from .dedup import add_shingles
+
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    vrow = uni.agg(F.count("*").alias("v"))  # vocab size (1 row, broadcast)
+    bi = (
+        add_shingles(docs, 2)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("w1", F.split("s", " ")[0])
+    )
+    bc = bi.groupBy("s").agg(F.count("*").alias("c12"))
+    terms = (
+        bi.join(bc, "s")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )

@@ -466,6 +466,14 @@ def q_multimodal_frame_sample(spark, sf):
     return video_frame_sample(assets)
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style perplexity gate: self-trained add-1 bigram LM, per-doc
+    mean log-prob (operators/textstats.py lm_bigram_score)."""
+    from ..operators.textstats import lm_bigram_score
+
+    return lm_bigram_score(t(spark, sf, "documents").select("doc_id", "text"))
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_dedup_stats(t(spark, sf, "events"), "props")
 
@@ -1127,6 +1135,23 @@ ORACLE_SQL: dict[str, str] = {
         select count(*)::bigint as n_near_pairs,
                round(coalesce(sum(c), 0), 6) as sum_cosine
         from cos where c >= 0.2
+    """,
+    "lm_perplexity": """
+        with w as (select doc_id, string_split(text, ' ') as ws from documents),
+        uni as (select unnest(ws) as wd from w),
+        uc as (select wd, count(*)::double as c1 from uni group by wd),
+        v as (select count(*)::double as v from uc),
+        bi as (
+          select doc_id,
+                 ws[i] || ' ' || ws[i+1] as s,
+                 ws[i] as w1
+          from w, unnest(range(1, len(ws))) as t(i)),
+        bc as (select s, count(*)::double as c12 from bi group by s)
+        select bi.doc_id,
+               count(*)::bigint as n_bigrams,
+               round(avg(ln((bc.c12 + 1.0) / (uc.c1 + v.v))), 4) as avg_logp
+        from bi join bc using (s) join uc on bi.w1 = uc.wd cross join v
+        group by bi.doc_id
     """,
     "dedup_exact": """
         select count(*)::bigint as n_total,
@@ -1907,6 +1932,7 @@ EXTRA_QUERIES = {
     "dedup_minhash_sig_fast": q_dedup_minhash_sig_fast,
     "source_profile": q_source_profile,
     "char_entropy": q_char_entropy,
+    "lm_perplexity": q_lm_perplexity,
     "top_ngrams": q_top_ngrams,
     "dup_cluster_sizes": q_dup_cluster_sizes,
 }
