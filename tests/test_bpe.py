@@ -1,0 +1,63 @@
+"""Distributed BPE tokenizer training (operators/bpe.py) vs the classic
+single-process implementation — merges and final vocabulary must match
+exactly (deterministic tie-break: count desc, pair lexicographic)."""
+
+from __future__ import annotations
+
+from vietnamese_ocr_spark.operators.bpe import (
+    bpe_train,
+    bpe_train_py,
+    bpe_vocab,
+    word_frequencies,
+)
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wider wide wide wider widest",
+    "low new wide lower newer",
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(TEXTS)], "doc_id string, text string"
+    )
+
+
+def test_merges_match_single_process(spark):
+    want_merges, want_vocab = bpe_train_py(TEXTS, num_merges=12)
+    got_merges, table = bpe_train(_docs(spark), num_merges=12)
+    try:
+        assert got_merges == want_merges
+        got_vocab = {r["token"]: r["freq"] for r in bpe_vocab(table).collect()}
+        assert got_vocab == want_vocab
+    finally:
+        table.unpersist()
+
+
+def test_merges_learn_real_subwords(spark):
+    merges, table = bpe_train(_docs(spark), num_merges=12)
+    try:
+        joined = {a + b for a, b in merges}
+        # high-frequency stems/suffixes emerge
+        assert any(tok.startswith("lo") for tok in joined)
+        assert any("er" in tok for tok in joined)
+    finally:
+        table.unpersist()
+
+
+def test_early_stop_on_min_frequency(spark):
+    docs = spark.createDataFrame([("d0", "ab cd ef")], "doc_id string, text string")
+    merges, table = bpe_train(docs, num_merges=50, min_pair_freq=2)
+    try:
+        want, _ = bpe_train_py(["ab cd ef"], num_merges=50, min_pair_freq=2)
+        assert merges == want  # every pair unique -> stops immediately
+        assert merges == []
+    finally:
+        table.unpersist()
+
+
+def test_word_frequencies(spark):
+    wf = {r["word"]: r["freq"] for r in word_frequencies(_docs(spark)).collect()}
+    assert wf["low"] == 4 and wf["newer"] == 3 and wf["widest"] == 1

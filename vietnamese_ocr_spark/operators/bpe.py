@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer training (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units", ACL 2016).
+
+The canonical pre-training preprocessing step the reference never needed
+(its vocab is fixed characters, src/utils/vocab.py) but any 100-TB text
+pipeline does. Shape:
+
+  * the corpus collapses ONCE into a (word, freq) table — after that,
+    every merge iteration runs over distinct words only (typically
+    10^6-10^8 rows at web scale, not 10^12 documents);
+  * each iteration: adjacent-pair counts via a map-side-combined
+    groupBy (the shuffle carries (pair, partial count) only), a 1-row
+    argmax collected to the driver (deterministic tie-break: count
+    desc, then pair lexicographic), and a greedy left-to-right merge
+    applied as a pure `aggregate` Column fold — no Python in the data
+    path;
+  * `localCheckpoint` truncates the plan each round (k nested folds
+    would otherwise blow up Catalyst analysis — same discipline as
+    operators/components.py's pointer-jumping loop).
+
+Iterative argmax-per-round is not expressible as one SQL query, so this
+operator is verified against a single-process mirror (`bpe_train_py`)
+instead of a DuckDB oracle — the same contract as the streaming state
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, standard BPE
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (word, freq): the one corpus-wide pass."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word -> its character sequence + the end-of-word marker."""
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("symbols"),
+    )
+
+
+def _merge_expr(a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b as a pure
+    Column fold. The fold's accumulator semantics give exact BPE
+    behavior: once merged, the new token is the 'last' element, so an
+    overlapping second merge cannot fire."""
+    return F.aggregate(
+        F.col("symbols"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = 32, min_pair_freq: int = 2
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train `num_merges` BPE merges on the corpus; returns (merges in
+    rank order, final (word, freq, symbols) table). Stops early when no
+    pair reaches `min_pair_freq`."""
+    cur = _initial_symbols(word_frequencies(docs)).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                cur.select(
+                    "freq",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice(F.col("symbols"), F.lit(1), F.size("symbols") - 1).alias("a"),
+                            F.slice(F.col("symbols"), F.lit(2), F.size("symbols") - 1).alias("b"),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("freq").alias("n"))
+            )
+            top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not top or top[0]["n"] < min_pair_freq:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            nxt = cur.select(
+                "word", "freq", _merge_expr(a, b).alias("symbols")
+            ).localCheckpoint()  # eager: truncates the fold lineage
+            cur.unpersist()
+            cur = nxt
+    except Exception:
+        cur.unpersist()
+        raise
+    return merges, cur
+
+
+def bpe_vocab(symbols_table: DataFrame) -> DataFrame:
+    """Final subword vocabulary: token -> corpus frequency."""
+    return (
+        symbols_table.select("freq", F.explode("symbols").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+# -- single-process mirror (test oracle; iterative argmax is not SQL) --------
+
+def bpe_train_py(
+    texts: list[str], num_merges: int = 32, min_pair_freq: int = 2
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Reference BPE (the classic dict implementation) with the same
+    tie-break; returns (merges, final token frequencies)."""
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    words: dict[str, tuple[list[str], int]] = {
+        w: (list(w) + [END], c) for w, c in freqs.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: Counter = Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, (syms, c) in words.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = (out, c)
+    vocab: dict[str, int] = {}
+    for syms, c in words.values():
+        for s in syms:
+            vocab[s] = vocab.get(s, 0) + c
+    return merges, vocab
