@@ -61,3 +61,29 @@ def test_early_stop_on_min_frequency(spark):
 def test_word_frequencies(spark):
     wf = {r["word"]: r["freq"] for r in word_frequencies(_docs(spark)).collect()}
     assert wf["low"] == 4 and wf["newer"] == 3 and wf["widest"] == 1
+
+
+def test_segment_applies_merges_by_rank(spark):
+    merges, table = bpe_train(_docs(spark), num_merges=12)
+    table.unpersist()
+    from vietnamese_ocr_spark.operators.bpe import bpe_segment, bpe_segment_word
+
+    docs = _docs(spark)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_segment(docs, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    for i, text in enumerate(TEXTS):
+        want = [t for w in text.split(" ") if w for t in bpe_segment_word(w, ranks)]
+        assert got[f"d{i}"] == (want, len(want)), f"d{i}"
+    # round-trip: concatenating tokens (modulo the marker) restores text
+    for i, text in enumerate(TEXTS):
+        joined = "".join(got[f"d{i}"][0]).replace("</w>", " ").strip()
+        assert joined == text
+
+
+def test_segment_with_no_merges_is_characters(spark):
+    from vietnamese_ocr_spark.operators.bpe import bpe_segment
+
+    docs = spark.createDataFrame([("d0", "ab c")], "doc_id string, text string")
+    (row,) = bpe_segment(docs, []).collect()
+    assert list(row["tokens"]) == ["a", "b", "</w>", "c", "</w>"]

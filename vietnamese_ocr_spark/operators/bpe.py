@@ -159,3 +159,60 @@ def bpe_train_py(
         for s in syms:
             vocab[s] = vocab.get(s, 0) + c
     return merges, vocab
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic BPE apply: repeatedly merge the lowest-rank adjacent pair
+    (the standard encode-time algorithm, shared by the Spark stage and
+    the test mirror)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply learned merges to the corpus: (doc_id, text) -> (doc_id,
+    tokens, n_tokens). Encode-time BPE is inherently per-word sequential
+    (lowest-rank-first), so this is the sanctioned Arrow-batched
+    mapInPandas escape hatch; a per-batch word cache exploits Zipf (each
+    distinct word is segmented once per batch, not once per occurrence).
+    The merges list rides the closure to every worker — it is the small
+    trained artifact, exactly like broadcast model weights."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def stage(batches):
+        for pdf in batches:
+            cache: dict[str, list[str]] = {}
+            toks_col = []
+            for text in pdf["text"]:
+                toks: list[str] = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = bpe_segment_word(w, ranks)
+                    toks.extend(got)
+                toks_col.append(toks)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": toks_col,
+                    "n_tokens": [len(t) for t in toks_col],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        stage, "doc_id string, tokens array<string>, n_tokens int"
+    )
