@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
         "template_cosine. Pass an unknown name to list the registry.",
     )
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="train BPE merges on a (doc_id, text) table and segment it",
+    )
+    tk.add_argument("--documents", required=True, help="parquet with doc_id, text")
+    tk.add_argument("--out", required=True, help="output dir (merges.json + tokens parquet)")
+    tk.add_argument("--merges", type=int, default=64)
+    tk.add_argument("--min-pair-freq", type=int, default=2)
+    tk.add_argument("--master", default=None)
+
     sy = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
     sy.add_argument("--docs", type=int, required=True)
     sy.add_argument("--out", required=True)
@@ -180,6 +190,37 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             )
+        finally:
+            spark.stop()
+        return 0
+
+    if args.cmd == "tokenize":
+        from .config import get_spark
+        from .operators.bpe import bpe_segment, bpe_train, bpe_vocab
+
+        spark = get_spark("tokenize-cli", master=args.master)
+        try:
+            docs = spark.read.parquet(args.documents).select("doc_id", "text")
+            merges, table = bpe_train(
+                docs, num_merges=args.merges, min_pair_freq=args.min_pair_freq
+            )
+            vocab_n = bpe_vocab(table).count()
+            table.unpersist()
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, "merges.json"), "w") as f:
+                json.dump([list(m) for m in merges], f)
+            seg = bpe_segment(docs, merges)
+            seg.write.mode("overwrite").parquet(os.path.join(args.out, "tokens.parquet"))
+            stats = spark.read.parquet(os.path.join(args.out, "tokens.parquet")).agg(
+                {"n_tokens": "sum", "doc_id": "count"}
+            ).collect()[0]
+            print(json.dumps({
+                "merges": len(merges),
+                "vocab_size": vocab_n,
+                "docs": stats["count(doc_id)"],
+                "total_tokens": int(stats["sum(n_tokens)"]),
+                "out": args.out,
+            }))
         finally:
             spark.stop()
         return 0

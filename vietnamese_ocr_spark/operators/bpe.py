@@ -213,6 +213,6 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        stage, "doc_id string, tokens array<string>, n_tokens int"
-    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).mapInPandas(stage, "doc_id string, tokens array<string>, n_tokens int")
