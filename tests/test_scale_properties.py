@@ -194,3 +194,18 @@ def test_partitioned_corpus_prunes_and_matches(spark, corpus, golden, tmp_path_f
         for r in extracted.collect()
     }
     assert got == {d: spans for d, spans in golden.items() if d in keep}
+
+
+def test_lm_perplexity_plan_shape(spark, corpus):
+    """lm_perplexity joins count tables on their KEYS: the only
+    nested-loop join in the plan must be the broadcast of the 1-row
+    vocab-size frame; no CartesianProduct anywhere."""
+    from vietnamese_ocr_spark.operators.textstats import lm_bigram_score
+
+    docs = spark.read.parquet(corpus["documents"]).selectExpr(
+        "doc_id", "concat_ws(' ', transform(spans, s -> s.text)) as text"
+    )
+    plan = lm_bigram_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the 1-row vocab broadcast is the ONLY nested-loop join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
