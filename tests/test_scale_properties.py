@@ -100,9 +100,12 @@ def test_similarity_assignment_is_projection_shaped(spark):
     assert "SortMergeJoin" not in assign_plan
 
     knn_plan = _formatted_plan(knn_join(emb, [0, 1], k=3))
-    assert "Join" not in knn_plan  # queries are inlined literals
+    # round-5: queries ride a 1-row broadcast packed struct array (plan
+    # size O(1) in Q), never a shuffle join or Q x d inlined literals
+    assert "BroadcastNestedLoopJoin" in knn_plan
     assert knn_plan.count("Window") >= 2  # salted local + exact final top-k
     assert "SortMergeJoin" not in knn_plan
+    assert "ShuffledHashJoin" not in knn_plan
 
     # full IVF plans (first-n and trained codebook): assignment + probe
     # subtrees are projection-shaped end to end

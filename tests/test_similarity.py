@@ -98,3 +98,35 @@ def test_ivf_probing_all_cells_equals_brute_force(spark):
     full = [tuple(r) for r in ivf_topk(emb, 0, k=5, n_centroids=3, nprobe=3).collect()]
     exact = [tuple(r) for r in cosine_topk(emb, 0, k=5).collect()]
     assert full == exact
+
+
+def test_knn_join_q500_plan_stays_small_and_exact(spark):
+    """Round-5 regression test for the literal-inlining scale-killer: with
+    Q=500 queries x d=64 the old form built ~32k `lit` nodes (Catalyst
+    analysis blowup + codegen fallback past the 64KB method limit). The
+    packed 1-row-broadcast form must (a) analyze in seconds, (b) still be
+    exact vs a NumPy brute-force oracle for every query."""
+    import time
+
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(500))
+    t0 = time.monotonic()
+    df = knn_join(emb, qids, k=3)
+    _ = df.schema  # forces full Catalyst analysis
+    assert time.monotonic() - t0 < 15.0, "plan analysis must stay O(1) in Q"
+
+    got = {}
+    for r in df.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    rows = sorted(
+        emb.select("vec_id", F.col("embedding").cast("array<double>")).collect()
+    )
+    mat = np.array([r[1] for r in rows])  # (500, 64), row i == vec_id i
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+    for qid in qids:
+        # numpy oracle: top-3 by (-cosine, vec_id) — same tiebreak
+        order = sorted(range(len(rows)), key=lambda v: (-cos[qid, v], v))[:3]
+        assert [v for _, v in sorted(got[qid])] == order, qid

@@ -4,11 +4,13 @@ north_rule names "PDF/layout parse" as part of the main-content
 extraction pipeline; this module implements the text-bearing subset that
 covers machine-generated text PDFs:
 
-  parse:  classic xref-table PDFs, indirect objects, dictionaries /
-          arrays / names / strings (literal + hex, with escapes),
-          streams with direct or indirect /Length, FlateDecode,
-          page tree traversal (/Root -> /Pages -> /Kids), content-stream
-          text operators BT/ET, Tf, Td, TD, Tm, T*, Tj, ', and TJ.
+  parse:  classic xref-table PDFs AND PDF 1.5+ cross-reference /
+          object streams (ObjStm expansion, see `_parse_objects`),
+          indirect objects, dictionaries / arrays / names / strings
+          (literal + hex, with escapes), streams with direct or
+          indirect /Length, FlateDecode, page tree traversal
+          (/Root -> /Pages -> /Kids), content-stream text operators
+          BT/ET, Tf, Td, TD, Tm, T*, Tj, ', and TJ.
   layout: each shown string is recorded with its device-space (x, y)
           and font size; `pdf_lines` groups spans into lines by
           y-proximity and orders them top-to-bottom, left-to-right —
@@ -18,8 +20,8 @@ covers machine-generated text PDFs:
           round-trip without any external PDF library.
 
 Out of scope (quarantined with ValueError, same contract as the image
-codecs): encrypted PDFs, cross-reference STREAMS (PDF 1.5+ compressed
-xref), CID/Type0 composite fonts, and non-Flate stream filters.
+codecs): encrypted PDFs, CID/Type0 composite fonts, and non-Flate
+stream filters.
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
 for the overwhelmingly common one-transform text PDFs this targets.
 """

@@ -45,7 +45,10 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> DataFr
     The query vector is a one-row DataFrame joined by dimension position —
     Catalyst broadcasts it, so the big side streams once with no shuffle
     until the final (tiny) top-k sort. Kept as the reference form the
-    zip variant (cosine_topk_zip) is property-tested against.
+    zip variant (cosine_topk_zip) is property-tested against; the d-fold
+    explode makes it the didactic/oracle-anchor form, so it is EXTRA-only
+    by design — production paths (bench + driver window) use the
+    zip/packed forms below.
     """
     dims = embeddings.select(
         "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
@@ -315,15 +318,36 @@ def ivf_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     )
 
 
+def _pack_queries(embeddings: DataFrame, query_ids: list[int]) -> DataFrame:
+    """Collapse the Q query vectors into ONE row
+    {qs: array<struct<qid, nq, cv:array<double>>>} sorted by qid —
+    the same 1-row broadcast shape as `_pack_centroids`. Plan size is
+    O(1) in Q (one aggregate subtree), never Q x d literal nodes, so
+    Catalyst analysis and codegen stay fast at the Q ~ 10^3 scale an
+    eval-retrieval batch actually runs. nq = ||q|| is folded in here so
+    scoring needs no second pass."""
+    per = embeddings.filter(
+        F.col("vec_id").isin([int(q) for q in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.sqrt(_sq_norm(_vec())).alias("nq"),
+        _vec().alias("qv"),
+    )
+    return per.agg(F.array_sort(F.collect_list(F.struct("qid", "nq", "qv"))).alias("qs"))
+
+
 def knn_join(embeddings: DataFrame, query_ids: list[int], k: int = 10,
              salt_buckets: int = 16) -> DataFrame:
     """Batch k-NN join: exact cosine top-k against the corpus for EVERY
     query in a small id set at once -> (qid, vec_id, cosine, rank).
 
-    One corpus pass regardless of |Q|: the Q query vectors are fetched
-    once (Q x d floats) and inlined as an array-of-structs literal, so
-    per-row scoring is a single codegen'd projection + a Q-fold explode
-    (Q ~ 10^3, vs the old d-fold dim explode + broadcast join + groupBy).
+    One corpus pass regardless of |Q|: the Q query vectors are packed
+    into a ONE-row DataFrame (array<struct<qid,nq,qv>>, `_pack_queries`)
+    and attached via the same 1-row broadcast crossJoin the codebook
+    path uses — plan size O(1) in Q, vs the previous literal-inlined
+    form whose Q x d `lit` nodes blew up Catalyst analysis and fell out
+    of codegen past ~10^5 expression nodes. Per-row scoring is a single
+    codegen'd projection + a Q-fold explode.
     Top-k is TWO-PHASE to kill the per-query single-reducer hotspot:
     a first window partitioned by (qid, salt) keeps k rows per salt
     bucket — Q x salt_buckets parallel reducers — then the exact final
@@ -333,24 +357,10 @@ def knn_join(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     Window.partitionBy(qid) alone would funnel the whole corpus through
     |Q| reducers.
     """
-    qrows = (
-        embeddings.filter(F.col("vec_id").isin([int(q) for q in query_ids]))
-        .select(F.col("vec_id").alias("qid"), _vec().alias("qv"))
-        .collect()
-    )
-    qlit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["qid"])).alias("qid"),
-                F.lit(float(sum(x * x for x in r["qv"]) ** 0.5)).alias("nq"),
-                F.array(*[F.lit(float(x)) for x in r["qv"]]).alias("qv"),
-            )
-            for r in sorted(qrows, key=lambda r: r["qid"])
-        ]
-    )
+    packed = _pack_queries(embeddings, query_ids)
     v = _vec()
     per_query = F.transform(
-        qlit,
+        F.col("qs"),
         lambda q: F.struct(
             q["qid"].alias("qid"),
             F.round(_dot(v, q["qv"]) / (F.sqrt(_sq_norm(v)) * q["nq"]), 6).alias(
@@ -358,7 +368,7 @@ def knn_join(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             ),
         ),
     )
-    scored = embeddings.select(
+    scored = _with_cents(embeddings, packed).select(
         "vec_id",
         F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(salt_buckets)).alias(
             "_salt"
