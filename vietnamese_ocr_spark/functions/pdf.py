@@ -5,7 +5,7 @@ extraction pipeline; this module implements the text-bearing subset that
 covers machine-generated text PDFs:
 
   parse:  classic xref-table PDFs AND PDF 1.5+ cross-reference /
-          object streams (ObjStm expansion, see `_parse_objects`),
+          object streams (ObjStm expansion, see `_expand_object_streams`),
           indirect objects, dictionaries / arrays / names / strings
           (literal + hex, with escapes), streams with direct or
           indirect /Length, FlateDecode, page tree traversal
