@@ -15,6 +15,15 @@ Methodology (changed in round 2 — see BASELINE.md):
     filters machine noise without letting any run ride another's cache.
   * Every query is forced end-to-end with the noop sink (full compute,
     no collect-to-driver cost).
+  * Round 5: alongside the in-suite numbers, the watched expensive
+    queries are re-timed ISOLATED — each in its own fresh subprocess /
+    SparkSession, min-of-3 — and recorded under extra.isolated. In-suite
+    numbers ride whatever JVM/GC state the preceding queries left
+    behind; the isolated series makes regressions attributable to code
+    vs session state vs host drift without a judge rerun (the round-4
+    ivf_* "regression" burned a round on exactly that ambiguity).
+    `python bench.py --isolate <query>` runs one such measurement;
+    SPARK_GRAFT_NO_ISOLATE=1 skips the series (fast iteration).
 """
 
 from __future__ import annotations
@@ -59,6 +68,21 @@ HEADLINE = [
 ]
 
 
+# re-timed isolated (fresh subprocess + session, min-of-3) in the
+# default run: the expensive rows whose in-suite numbers have shown
+# suite/host sensitivity across rounds
+ISOLATED = [
+    "ocr_extract",
+    "cer_corpus",
+    "dedup_minhash_pipeline",
+    "dedup_jaccard",
+    "similarity_ivf_recall",
+    "similarity_ivf_kmeans",
+    "image_decode_stats",
+    "pdf_extract_lines",
+]
+
+
 def force(df) -> int:
     df.write.mode("overwrite").format("noop").save()
     return 0
@@ -85,7 +109,7 @@ def prep_corpus(spark, sf_dir: str) -> str:
     return out
 
 
-def main() -> int:
+def main(isolate: str | None = None) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -127,15 +151,12 @@ def main() -> int:
         extracted, _ = extract_df(spark, documents, media)
         force(extracted)
 
-    # min of two runs per query: this VM shows multi-second noise spikes,
-    # and min-wall is the standard filter for them; each attempt starts
-    # cache-cold so the min is a real end-to-end time
     from vietnamese_ocr_spark.operators.dedup import release_persisted
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def timed_attempts(name: str, n: int) -> list[float]:
+        """n cache-cold end-to-end walls for one query."""
         walls = []
-        for _ in range(2):
+        for _ in range(n):
             release_persisted()  # scoped release of operator caches
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -144,12 +165,47 @@ def main() -> int:
             else:
                 force(qs[name](spark, sf_dir))
             walls.append(time.perf_counter() - t0)
-        timings[name] = round(min(walls), 3)
+        return walls
+
+    if isolate is not None:
+        # one query, fresh session (this process IS the isolation), min-of-3
+        walls = timed_attempts(isolate, 3)
+        spark.stop()
+        print(json.dumps({"query": isolate, "isolated_sec": round(min(walls), 3),
+                          "attempts": [round(w, 3) for w in walls]}))
+        return 0
+
+    # min of two runs per query: this VM shows multi-second noise spikes,
+    # and min-wall is the standard filter for them; each attempt starts
+    # cache-cold so the min is a real end-to-end time
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(min(timed_attempts(name, 2)), 3)
 
     # flagship throughput: docs/sec through the extraction pipeline
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs_per_sec = round(n_docs / timings["ocr_extract"], 2)
     spark.stop()
+
+    # isolated series: one subprocess per watched query so each gets a
+    # fresh JVM/session — session-state-free numbers next to the in-suite
+    # ones (see module docstring)
+    isolated: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_NO_ISOLATE"):
+        import subprocess
+
+        for name in ISOLATED:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--isolate", name],
+                    capture_output=True, text=True, timeout=600,
+                    env={**os.environ, "SPARK_GRAFT_NO_ISOLATE": "1"},
+                )
+                rec = json.loads(out.stdout.strip().splitlines()[-1])
+                isolated[name] = rec["isolated_sec"]
+            except Exception as ex:  # never fail the suite over the extra series
+                isolated[name] = -1.0
+                print(f"# isolate {name} failed: {ex}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -165,6 +221,7 @@ def main() -> int:
                     "ocr_docs_per_sec": docs_per_sec,
                     "cpus": cpus,
                     "corpus_prep_sec": prep_sec,
+                    "isolated_min_of_3": isolated,
                 },
             }
         )
@@ -173,4 +230,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        sys.exit(main(isolate=sys.argv[2]))
     sys.exit(main())

@@ -87,3 +87,90 @@ def test_segment_with_no_merges_is_characters(spark):
     docs = spark.createDataFrame([("d0", "ab c")], "doc_id string, text string")
     (row,) = bpe_segment(docs, []).collect()
     assert list(row["tokens"]) == ["a", "b", "</w>", "c", "</w>"]
+
+
+def test_fast_trainer_matches_distributed_and_classic(spark):
+    """bpe_train_fast (driver merge loop over the distributed word table)
+    must produce the identical merge list and final vocabulary."""
+    from vietnamese_ocr_spark.operators.bpe import bpe_train_fast
+
+    want_merges, want_vocab = bpe_train_py(TEXTS, num_merges=12)
+    got_merges, table = bpe_train_fast(_docs(spark), num_merges=12)
+    assert got_merges == want_merges
+    got_vocab = {r["token"]: r["freq"] for r in bpe_vocab(table).collect()}
+    assert got_vocab == want_vocab
+
+
+def test_fast_trainer_matches_classic_on_random_corpora():
+    """Pure-python property: the incremental-index + lazy-heap trainer is
+    step-for-step equal to the full-recount classic on random corpora,
+    driven to exhaustion (min_pair_freq=1 stresses tie-breaks and the
+    stale-heap-entry path)."""
+    import random
+    from collections import Counter
+
+    from vietnamese_ocr_spark.operators.bpe import _train_from_word_freqs
+
+    rng = random.Random(7)
+    for _ in range(12):
+        texts = [
+            " ".join(
+                "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 20))
+            )
+            for _ in range(5)
+        ]
+        want, want_vocab = bpe_train_py(texts, num_merges=60, min_pair_freq=1)
+        freqs = Counter(w for t in texts for w in t.split(" ") if w)
+        got, words = _train_from_word_freqs(dict(freqs), 60, 1)
+        assert got == want, texts
+        got_vocab: dict[str, int] = {}
+        for syms, c in words.values():
+            for s in syms:
+                got_vocab[s] = got_vocab.get(s, 0) + c
+        assert got_vocab == want_vocab, texts
+
+
+def test_fast_trainer_end_to_end_on_corpus(spark):
+    """End-to-end on the sf0.01 documents table: one distributed word
+    count, then driver-side merges to exhaustion in seconds. (The
+    synthetic corpus has only 31 distinct words, so exhaustion lands at
+    ~106 merges — the 1k-merge regime is covered by the Zipf-vocabulary
+    test below.)"""
+    import time
+
+    from vietnamese_ocr_spark.operators.bpe import bpe_train_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.monotonic()
+    merges, _tbl = bpe_train_fast(docs, num_merges=1000, min_pair_freq=2)
+    wall = time.monotonic() - t0
+    assert 50 <= len(merges) < 1000, len(merges)  # exhaustion, not cap
+    assert wall < 30.0, wall
+
+
+def test_fast_trainer_1k_merges_on_50k_word_vocab():
+    """The real-vocab-scale contract (round-4 verdict item 4): 1k merges
+    over a 50k-distinct-word Zipf table in single-digit seconds — the
+    regime where bpe_train's one-Spark-job-per-merge pattern would need
+    1000 sequential jobs. Driver-side trainer only; the distributed part
+    (word_frequencies) is corpus-size-, not vocab-size-, bound and is
+    covered by the end-to-end test above. Lenient bound — shared VM."""
+    import random
+    import time
+
+    from vietnamese_ocr_spark.operators.bpe import _train_from_word_freqs
+
+    rng = random.Random(0)
+    freqs = {}
+    for rank in range(1, 50_001):
+        w = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(rng.randint(3, 12)))
+        freqs[w] = freqs.get(w, 0) + max(1, 1_000_000 // rank)
+    t0 = time.monotonic()
+    merges, _words = _train_from_word_freqs(freqs, 1000, 2)
+    wall = time.monotonic() - t0
+    assert len(merges) == 1000, len(merges)
+    assert wall < 20.0, wall

@@ -61,6 +61,20 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--out", required=True, help="output dir (merges.json + tokens parquet)")
     tk.add_argument("--merges", type=int, default=64)
     tk.add_argument("--min-pair-freq", type=int, default=2)
+    tk.add_argument(
+        "--fast",
+        action="store_true",
+        help="driver-side merge loop over the distributed (word,freq) "
+        "table (bpe_train_fast) — the real-vocab-scale trainer; "
+        "identical merge list",
+    )
+    tk.add_argument(
+        "--max-words",
+        type=int,
+        default=None,
+        help="with --fast: cap the collected word table to the top-N by "
+        "frequency (standard frequency cap for huge corpora)",
+    )
     tk.add_argument("--master", default=None)
 
     sy = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
@@ -196,14 +210,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "tokenize":
         from .config import get_spark
-        from .operators.bpe import bpe_segment, bpe_train, bpe_vocab
+        from .operators.bpe import bpe_segment, bpe_train, bpe_train_fast, bpe_vocab
 
         spark = get_spark("tokenize-cli", master=args.master)
         try:
             docs = spark.read.parquet(args.documents).select("doc_id", "text")
-            merges, table = bpe_train(
-                docs, num_merges=args.merges, min_pair_freq=args.min_pair_freq
-            )
+            if args.fast:
+                merges, table = bpe_train_fast(
+                    docs,
+                    num_merges=args.merges,
+                    min_pair_freq=args.min_pair_freq,
+                    max_words=args.max_words,
+                )
+            else:
+                merges, table = bpe_train(
+                    docs, num_merges=args.merges, min_pair_freq=args.min_pair_freq
+                )
             vocab_n = bpe_vocab(table).count()
             table.unpersist()
             os.makedirs(args.out, exist_ok=True)

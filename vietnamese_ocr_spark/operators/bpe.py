@@ -120,6 +120,106 @@ def bpe_vocab(symbols_table: DataFrame) -> DataFrame:
     )
 
 
+def _train_from_word_freqs(
+    freqs: dict[str, int], num_merges: int, min_pair_freq: int
+) -> tuple[list[tuple[str, str]], dict[str, tuple[list[str], int]]]:
+    """Fast incremental BPE over a (word -> freq) dict: pair counts are
+    updated only for words touched by each merge (Sennrich's learn_bpe
+    indexing trick) and the per-round argmax is a lazy max-heap — stale
+    entries are skipped on pop, and since every live pair always has an
+    entry carrying its exact current count, the first valid pop IS the
+    true (count desc, pair asc) argmax. ~O(total updates x log) instead
+    of bpe_train_py's O(num_merges x all words) full recount; identical
+    merge list by construction (same greedy left-to-right re-merge, same
+    tie-break)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: dict[str, tuple[list[str], int]] = {
+        w: (list(w) + [END], c) for w, c in freqs.items()
+    }
+    pair_counts: Counter = Counter()
+    where: defaultdict[tuple[str, str], set] = defaultdict(set)
+    for w, (syms, c) in words.items():
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            where[p].add(w)
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        if pair_counts.get((a, b)) != -negn:
+            continue  # stale entry
+        if -negn < min_pair_freq:
+            break
+        merges.append((a, b))
+        touched: set[tuple[str, str]] = set()
+        for w in list(where.get((a, b), ())):
+            syms, c = words[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c
+                touched.add(p)
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                    where.pop(p, None)
+                else:
+                    where[p].discard(w)
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = (out, c)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] += c
+                touched.add(p)
+                where[p].add(w)
+        for p in touched:
+            n = pair_counts.get(p)
+            if n is not None:
+                heapq.heappush(heap, (-n, p[0], p[1]))
+    return merges, words
+
+
+def bpe_train_fast(
+    docs: DataFrame,
+    num_merges: int = 1000,
+    min_pair_freq: int = 2,
+    max_words: int | None = None,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """BPE training at real vocab scale (the 1k-32k merge regime where
+    `bpe_train`'s one-Spark-job-per-merge pattern becomes 32k sequential
+    jobs): ONE distributed pass collapses the corpus to the (word, freq)
+    table — the only part that touches 10^12 documents — then the merges
+    run driver-side over that table with incremental pair-count updates.
+    This is the standard industrial shape (HF tokenizers, SentencePiece:
+    distributed count, single-node merge loop), because post-collapse the
+    table is distinct-words-sized (10^6-10^8 rows ~ GBs at web scale,
+    far below driver memory after `max_words` capping).
+
+    `max_words` keeps the top-N words by (freq desc, word asc) — the
+    standard frequency-cap; None collects everything. Merge list is
+    IDENTICAL to `bpe_train`/`bpe_train_py` on the same word table
+    (test_bpe pins this). Returns (merges, final (word, freq, symbols)
+    DataFrame), same contract as `bpe_train`."""
+    wf = word_frequencies(docs)
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    merges, words = _train_from_word_freqs(freqs, num_merges, min_pair_freq)
+    spark = docs.sparkSession
+    table = spark.createDataFrame(
+        [(w, c, syms) for w, (syms, c) in sorted(words.items())],
+        "word string, freq bigint, symbols array<string>",
+    )
+    return merges, table
+
+
 # -- single-process mirror (test oracle; iterative argmax is not SQL) --------
 
 def bpe_train_py(
