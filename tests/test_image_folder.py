@@ -15,7 +15,7 @@ def _write_pngs(root: str) -> dict[str, str]:
     vocab = Vocabulary()
     atlas = build_atlas(vocab)
     truths = {"a1.png": "xin", "b2.png": "quên", "sub/c3.png": "đêm",
-              "d4.jpg": "chào"}
+              "d4.jpg": "chào", "e5.bmp": "em", "f6.gif": "nhớ"}
     for rel, truth in truths.items():
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -25,6 +25,14 @@ def _write_pngs(root: str) -> dict[str, str]:
                 from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
 
                 f.write(jpeg_encode(img, quality=100))
+            elif rel.endswith(".bmp"):
+                from vietnamese_ocr_spark.functions.gifbmp import bmp_encode
+
+                f.write(bmp_encode(img))
+            elif rel.endswith(".gif"):
+                from vietnamese_ocr_spark.functions.gifbmp import gif_encode
+
+                f.write(gif_encode(img, interlace=True))
             else:
                 f.write(png_encode(img))
     # a decoy that must NOT match the glob

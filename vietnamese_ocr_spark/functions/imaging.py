@@ -217,19 +217,28 @@ def png_decode(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or baseline JPEG payload bytes to uint8 HxW grayscale
-    (PIL convert('L') semantics: BT.601 luma, alpha ignored — the
-    reference's ingestion contract, src/utils/inference.py:125 and
-    src/utils/dataloader.py:44). Raises ValueError on unknown formats
-    and on corrupt payloads; callers quarantine."""
+    """Decode PNG / JPEG (baseline + progressive) / BMP / GIF payload
+    bytes to uint8 HxW grayscale (PIL convert('L') semantics: BT.601
+    luma, alpha ignored — the reference's ingestion contract,
+    src/utils/inference.py:125 and src/utils/dataloader.py:44). Raises
+    ValueError on unknown formats and on corrupt payloads; callers
+    quarantine."""
     if data[:8] == _PNG_SIG:
         arr = png_decode(data)
     elif data[:2] == b"\xff\xd8":
         from .jpeg import jpeg_decode
 
         arr = jpeg_decode(data)
+    elif data[:2] == b"BM":
+        from .gifbmp import bmp_decode
+
+        arr = bmp_decode(data)
+    elif data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifbmp import gif_decode
+
+        arr = gif_decode(data)
     else:
-        raise ValueError("unknown image format (not PNG or JPEG)")
+        raise ValueError("unknown image format (not PNG/JPEG/BMP/GIF)")
     if arr.ndim == 3:
         if arr.shape[2] == 2:  # gray+alpha: PIL convert('L') drops alpha
             return arr[:, :, 0].copy()

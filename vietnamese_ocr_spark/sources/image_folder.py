@@ -22,17 +22,17 @@ from pyspark.sql import functions as F
 
 
 def read_image_folder(
-    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg}"
+    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg,bmp,gif}"
 ) -> DataFrame:
     """Directory of image files -> media(media_ref, png, size_b).
 
     media_ref = the file's base name (matching the reference, which keys
     its predictions by file name — src/utils/inference.py:105-111).
     Recursive so nested date=.../shard=... layouts work unchanged. The
-    default glob admits PNG and JPEG — both decode through the
+    default glob admits PNG, JPEG, BMP and GIF — all decode through the
     functions/imaging.decode_image seam (the reference accepts anything
     PIL opens, src/utils/inference.py:125); the `png` column name is the
-    media-schema contract, the bytes may be either container.
+    media-schema contract, the bytes may be any of those containers.
     """
     raw = (
         spark.read.format("binaryFile")

@@ -136,12 +136,13 @@ MIXED_ASSETS_SCHEMA = "asset_id string, fmt string, payload binary"
 def mixed_asset(doc_id: int, text: str) -> dict | None:
     """Derive one mixed-format image asset for even doc_ids: the SAME
     rendered text line encoded as gray PNG (filters 0/4), RGB PNG,
-    palette PNG, gray/color JPEG, or a deliberately corrupt payload —
-    the format mix a raw web crawl hands an extraction job. Pure
-    function of (doc_id, text): shared verbatim by the Spark stage and
-    the golden generator."""
+    palette PNG, gray/color JPEG, 24-bit BMP, interlaced GIF, or a
+    deliberately corrupt payload — the format mix a raw web crawl hands
+    an extraction job. Pure function of (doc_id, text): shared verbatim
+    by the Spark stage and the golden generator."""
     if doc_id % 2 != 0:
         return None
+    from ..functions.gifbmp import bmp_encode, gif_encode
     from ..functions.imaging import png_encode, png_encode_palette
     from ..functions.jpeg import jpeg_encode
     from ..model.glyphs import render_line
@@ -151,7 +152,7 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
     atlas, vocab_set = _atlas()
     truth = "".join(c for c in text if c in vocab_set)[:12] or "mixed"
     img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
-    variant = (doc_id // 2) % 10
+    variant = (doc_id // 2) % 12
     asset_id = f"mix-{doc_id:08d}"
     if variant in (0, 1):
         return {"asset_id": asset_id, "fmt": "png-gray", "payload": png_encode(img)}
@@ -193,6 +194,15 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
             "asset_id": asset_id,
             "fmt": "jpeg-rgb-420",
             "payload": jpeg_encode(rgb, quality=85, subsample="420"),
+        }
+    if variant == 10:
+        rgb = np.stack([255 - img, img, img // 3 + 42], axis=-1)
+        return {"asset_id": asset_id, "fmt": "bmp-rgb", "payload": bmp_encode(rgb)}
+    if variant == 11:
+        return {
+            "asset_id": asset_id,
+            "fmt": "gif-gray",
+            "payload": gif_encode(img, interlace=True),
         }
     # variant 9: truncated PNG — exercises quarantine, not an error path
     return {
