@@ -148,7 +148,11 @@ def test_decode_image_dispatch_and_gray_conversion():
     rgba = np.dstack([rgb, np.full((18, 25), 7, np.uint8)])
     assert np.array_equal(decode_image(png_encode(rgba)), grayscale(rgb))
     with pytest.raises(ValueError, match="unknown image format"):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP not supported")
+    # GIF is a supported format since round 5; corrupt GIF bytes still
+    # raise (quarantine), just with a format-specific message
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a but corrupt")
 
 
 def test_ocr_pipeline_recognizes_color_png_and_jpeg():
