@@ -15,7 +15,8 @@ def _write_pngs(root: str) -> dict[str, str]:
     vocab = Vocabulary()
     atlas = build_atlas(vocab)
     truths = {"a1.png": "xin", "b2.png": "quên", "sub/c3.png": "đêm",
-              "d4.jpg": "chào", "e5.bmp": "em", "f6.gif": "nhớ"}
+              "d4.jpg": "chào", "e5.bmp": "em", "f6.gif": "nhớ",
+              "g7.tif": "mai"}
     for rel, truth in truths.items():
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -33,6 +34,10 @@ def _write_pngs(root: str) -> dict[str, str]:
                 from vietnamese_ocr_spark.functions.gifbmp import gif_encode
 
                 f.write(gif_encode(img, interlace=True))
+            elif rel.endswith(".tif"):
+                from vietnamese_ocr_spark.functions.tiff import tiff_encode
+
+                f.write(tiff_encode(img, compression="lzw"))
             else:
                 f.write(png_encode(img))
     # a decoy that must NOT match the glob

@@ -116,18 +116,25 @@ def test_png_palette_expands_to_rgb():
     assert np.array_equal(out, palette[idx])
 
 
-def test_png_rejects_interlaced():
+def test_png_rejects_bad_interlace_method_and_short_adam7_data():
+    """Adam7 is SUPPORTED since round 5; what must still be rejected is
+    an unknown interlace method byte and interlaced data that is shorter
+    than the seven passes require."""
     import struct
     import zlib
 
     from vietnamese_ocr_spark.functions.imaging import _PNG_SIG, _png_chunk, png_decode
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
-    data = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
-            + _png_chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="Adam7"):
-        png_decode(data)
+    def build(interlace, payload):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, interlace)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(payload))
+                + _png_chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError, match="interlace method"):
+        png_decode(build(2, b"\x00" * 23))
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_decode(build(1, b"\x00" * 20))  # 4x4 Adam7 needs 23 bytes
 
 
 def test_decode_image_dispatch_and_gray_conversion():
@@ -182,3 +189,44 @@ def test_ocr_pipeline_recognizes_color_png_and_jpeg():
     assert texts[0] == "xinchao"
     assert texts[1] == texts[2] == texts[3] == texts[0]
     assert texts[4] == ""
+
+
+def test_png_16bit_gray_and_rgb_decode():
+    """16-bit PNGs (round-5): decode downconverts each big-endian sample
+    to its high byte — so a 16-bit encode of (v << 8 | noise) decodes to
+    exactly v."""
+    from vietnamese_ocr_spark.functions.imaging import png_decode, png_encode_16
+
+    rng = np.random.default_rng(11)
+    hi = rng.integers(0, 256, (9, 14), dtype=np.uint16)
+    lo = rng.integers(0, 256, (9, 14), dtype=np.uint16)
+    assert np.array_equal(png_decode(png_encode_16((hi << 8) | lo)), hi.astype(np.uint8))
+    hi3 = rng.integers(0, 256, (5, 7, 3), dtype=np.uint16)
+    got = png_decode(png_encode_16(hi3 << 8))
+    assert np.array_equal(got, hi3.astype(np.uint8))
+
+
+def test_png_adam7_interlaced_roundtrip_all_filters():
+    """Adam7 PNGs (round-5): every color type x every scanline filter,
+    odd sizes (so several passes are ragged or empty) — decode must
+    exactly invert the pass split."""
+    from vietnamese_ocr_spark.functions.imaging import (
+        png_decode,
+        png_encode_interlaced,
+    )
+
+    rng = np.random.default_rng(12)
+    for shape in [(1, 1), (3, 2), (7, 7), (13, 21), (16, 16)]:
+        for ch in (None, 3, 4):
+            full = shape if ch is None else (*shape, ch)
+            img = rng.integers(0, 256, full, dtype=np.uint8)
+            for ftype in range(5):
+                got = png_decode(png_encode_interlaced(img, filter_type=ftype))
+                assert np.array_equal(got, img), (shape, ch, ftype)
+
+
+def test_png_16bit_through_decode_image():
+    from vietnamese_ocr_spark.functions.imaging import decode_image, png_encode_16
+
+    hi = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 4) << 8
+    assert np.array_equal(decode_image(png_encode_16(hi)), (hi >> 8).astype(np.uint8))

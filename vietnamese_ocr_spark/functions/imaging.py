@@ -108,6 +108,63 @@ def png_encode(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def png_encode_16(arr: np.ndarray) -> bytes:
+    """Encode uint16 gray (HxW) or RGB (HxWx3) as 16-bit PNG, filter 0
+    (fixture/test builder for the 16-bit decode path)."""
+    if arr.dtype != np.uint16:
+        raise ValueError("png_encode_16 expects uint16")
+    if arr.ndim == 2:
+        ctype, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ctype, channels = 2, 3
+    else:
+        raise ValueError("png_encode_16 expects HxW or HxWx3")
+    h, w = arr.shape[0], arr.shape[1]
+    rows = arr.reshape(h, w * channels).astype(">u2")
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_encode_interlaced(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode uint8 gray/RGB/RGBA as an Adam7-interlaced PNG — the other
+    legal layout of the wire format (fixture/test builder; production
+    encoding stays sequential). Each of the seven passes is an
+    independently-filtered sub-image, exactly what png_decode's
+    interlaced branch reassembles."""
+    if arr.dtype != np.uint8:
+        raise ValueError("png_encode_interlaced expects uint8")
+    if arr.ndim == 2:
+        ctype, bpp = 0, 1
+        flat = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        ctype, bpp = (2, 3) if arr.shape[2] == 3 else (6, 4)
+        flat = arr
+    else:
+        raise ValueError("png_encode_interlaced expects HxW, HxWx3 or HxWx4")
+    h, w = arr.shape[0], arr.shape[1]
+    raw = b""
+    for x0, xs, y0, ys in _ADAM7:
+        sub = flat[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _forward_filter(
+            sub.reshape(sub.shape[0], sub.shape[1] * bpp), bpp, filter_type
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_encode_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Encode a uint8 HxW index array + (N,3) palette as a type-3 PNG
     (fixture/test builder for the palette decode path)."""
@@ -125,18 +182,73 @@ def png_encode_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
     )
 
 
+def _png_unfilter(flat: np.ndarray, height: int, width_bytes: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering: flat is the (height, 1+width_bytes)
+    filter-byte + raw-byte matrix of one (sub-)image; bpp is the byte
+    distance to the left neighbor (channels x bytes-per-sample)."""
+    if not flat[:, 0].any():
+        # fast path: every scanline filter 0 (what png_encode writes) —
+        # one vectorized reshape instead of a per-row loop
+        return flat[:, 1:].copy()
+    out = np.empty((height, width_bytes), dtype=np.uint8)
+    prev = np.zeros(width_bytes, dtype=np.int32)
+    for y in range(height):
+        ftype = int(flat[y, 0])
+        line = flat[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: per-channel prefix sum
+            cur = (
+                np.cumsum(line.reshape(-1, bpp).astype(np.int64), axis=0)
+                & 0xFF
+            ).astype(np.int32).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average: sequential in x (needs decoded left)
+            cur = np.zeros(width_bytes, dtype=np.int32)
+            for i in range(width_bytes):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth: sequential in x
+            cur = np.zeros(width_bytes, dtype=np.int32)
+            for i in range(width_bytes):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+# Adam7: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG: gray (0), RGB (2), palette (3), gray+alpha
-    (4) and RGBA (6) color types, all five scanline filters, multiple
-    IDAT chunks. Matches what `Image.open(...)` accepts for the common
-    web-PNG shapes (reference: src/utils/inference.py:125 opens
-    arbitrary files via PIL). Returns HxW for gray, HxWxC otherwise
-    (palette is expanded to RGB). Interlaced (Adam7) PNGs are rejected.
+    """Decode an 8- or 16-bit PNG: gray (0), RGB (2), palette (3),
+    gray+alpha (4) and RGBA (6) color types, all five scanline filters,
+    multiple IDAT chunks, sequential AND Adam7-interlaced layouts.
+    Matches what `Image.open(...)` accepts for the common web-PNG shapes
+    (reference: src/utils/inference.py:125 opens arbitrary files via
+    PIL). Returns HxW for gray, HxWxC otherwise (palette is expanded to
+    RGB); 16-bit samples downconvert to their high byte (the standard
+    visual 16->8 mapping).
     """
     if not data.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos = len(_PNG_SIG)
     width = height = ctype = None
+    depth = 8
+    interlace = 0
     plte = None
     idat = []
     while pos + 8 <= len(data):
@@ -148,12 +260,12 @@ def png_decode(data: bytes) -> np.ndarray:
             width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8:
-                raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+            if depth not in (8, 16) or (depth == 16 and ctype == 3):
+                raise ValueError(f"unsupported PNG bit depth {depth}")
             if ctype not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {ctype}")
-            if interlace != 0:
-                raise ValueError("interlaced (Adam7) PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -162,53 +274,44 @@ def png_decode(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG")
-    bpp = _PNG_CHANNELS[ctype]
+    channels = _PNG_CHANNELS[ctype]
+    sample_b = depth // 8
+    bpp = channels * sample_b
     raw = zlib.decompress(b"".join(idat))
-    stride = width * bpp + 1
-    if len(raw) != height * stride:
-        raise ValueError("PNG data length mismatch")
-    flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
-    if not flat[:, 0].any():
-        # fast path: every scanline filter 0 (what png_encode writes) —
-        # one vectorized reshape instead of a per-row loop
-        out = flat[:, 1:].copy()
-    else:
-        out = np.empty((height, width * bpp), dtype=np.uint8)
-        prev = np.zeros(width * bpp, dtype=np.int32)
-        for y in range(height):
-            ftype = int(flat[y, 0])
-            line = flat[y, 1:].astype(np.int32)
-            if ftype == 0:
-                cur = line
-            elif ftype == 1:  # Sub: per-channel prefix sum
-                cur = (
-                    np.cumsum(line.reshape(width, bpp).astype(np.int64), axis=0)
-                    & 0xFF
-                ).astype(np.int32).reshape(-1)
-            elif ftype == 2:  # Up
-                cur = (line + prev) & 0xFF
-            elif ftype == 3:  # Average: sequential in x (needs decoded left)
-                cur = np.zeros(width * bpp, dtype=np.int32)
-                for i in range(width * bpp):
-                    left = cur[i - bpp] if i >= bpp else 0
-                    cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth: sequential in x
-                cur = np.zeros(width * bpp, dtype=np.int32)
-                for i in range(width * bpp):
-                    a = cur[i - bpp] if i >= bpp else 0
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[i] = (line[i] + pred) & 0xFF
-            else:
-                raise ValueError(f"unsupported PNG filter {ftype}")
-            out[y] = cur.astype(np.uint8)
-            prev = cur
+    if interlace == 0:
+        stride = width * bpp + 1
+        if len(raw) != height * stride:
+            raise ValueError("PNG data length mismatch")
+        flat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        out = _png_unfilter(flat, height, width * bpp, bpp)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        out = np.zeros((height, width * bpp), dtype=np.uint8)
+        off = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * bpp + 1
+            if off + ph * stride > len(raw):
+                raise ValueError("PNG data length mismatch")
+            flat = np.frombuffer(
+                raw[off : off + ph * stride], dtype=np.uint8
+            ).reshape(ph, stride)
+            off += ph * stride
+            sub = _png_unfilter(flat, ph, pw * bpp, bpp).reshape(ph, pw, bpp)
+            ys_idx = np.arange(y0, height, ys)
+            xs_idx = np.arange(x0, width, xs)
+            cols = (xs_idx[:, None] * bpp + np.arange(bpp)).reshape(-1)
+            out[np.ix_(ys_idx, cols)] = sub.reshape(ph, pw * bpp)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+    if depth == 16:
+        # big-endian samples: high byte is the standard 16->8 mapping
+        out = out.reshape(height, width * channels, 2)[:, :, 0].copy()
     if ctype == 0:
-        return out
-    img = out.reshape(height, width, bpp)
+        return out.reshape(height, width)
+    img = out.reshape(height, width, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -237,8 +340,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gifbmp import gif_decode
 
         arr = gif_decode(data)
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_decode
+
+        arr = tiff_decode(data)
     else:
-        raise ValueError("unknown image format (not PNG/JPEG/BMP/GIF)")
+        raise ValueError("unknown image format (not PNG/JPEG/BMP/GIF/TIFF)")
     if arr.ndim == 3:
         if arr.shape[2] == 2:  # gray+alpha: PIL convert('L') drops alpha
             return arr[:, :, 0].copy()

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 
 def read_image_folder(
-    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg,bmp,gif}"
+    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg,bmp,gif,tif,tiff}"
 ) -> DataFrame:
     """Directory of image files -> media(media_ref, png, size_b).
 

@@ -135,11 +135,12 @@ MIXED_ASSETS_SCHEMA = "asset_id string, fmt string, payload binary"
 
 def mixed_asset(doc_id: int, text: str) -> dict | None:
     """Derive one mixed-format image asset for even doc_ids: the SAME
-    rendered text line encoded as gray PNG (filters 0/4), RGB PNG,
-    palette PNG, gray/color JPEG, 24-bit BMP, interlaced GIF, or a
-    deliberately corrupt payload — the format mix a raw web crawl hands
-    an extraction job. Pure function of (doc_id, text): shared verbatim
-    by the Spark stage and the golden generator."""
+    rendered text line encoded as gray PNG (filters 0/4, sequential /
+    Adam7-interlaced / 16-bit), RGB PNG, palette PNG, gray/color JPEG,
+    24-bit BMP, interlaced GIF, LZW+predictor TIFF, or a deliberately
+    corrupt payload — the format mix a raw web crawl hands an extraction
+    job. Pure function of (doc_id, text): shared verbatim by the Spark
+    stage and the golden generator."""
     if doc_id % 2 != 0:
         return None
     from ..functions.gifbmp import bmp_encode, gif_encode
@@ -152,7 +153,7 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
     atlas, vocab_set = _atlas()
     truth = "".join(c for c in text if c in vocab_set)[:12] or "mixed"
     img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
-    variant = (doc_id // 2) % 12
+    variant = (doc_id // 2) % 15
     asset_id = f"mix-{doc_id:08d}"
     if variant in (0, 1):
         return {"asset_id": asset_id, "fmt": "png-gray", "payload": png_encode(img)}
@@ -203,6 +204,31 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
             "asset_id": asset_id,
             "fmt": "gif-gray",
             "payload": gif_encode(img, interlace=True),
+        }
+    if variant == 12:
+        from ..functions.tiff import tiff_encode
+
+        rgb = np.stack([img, 255 - img, img // 2 + 17], axis=-1)
+        return {
+            "asset_id": asset_id,
+            "fmt": "tiff-rgb-lzw",
+            "payload": tiff_encode(rgb, compression="lzw", predictor=True),
+        }
+    if variant == 13:
+        from ..functions.imaging import png_encode_interlaced
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "png-gray-adam7",
+            "payload": png_encode_interlaced(img, filter_type=2),
+        }
+    if variant == 14:
+        from ..functions.imaging import png_encode_16
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "png-gray16",
+            "payload": png_encode_16((img.astype(np.uint16) << 8) | 0x2A),
         }
     # variant 9: truncated PNG — exercises quarantine, not an error path
     return {
