@@ -407,11 +407,13 @@ def q_multimodal_image_stats(spark, sf):
 
 
 def q_image_decode_stats(spark, sf):
-    """Mixed-format decode coverage (round-4): the SAME text line encoded
-    as gray/Paeth/RGB/palette PNG, gray/4:2:0-color JPEG, plus a corrupt
-    payload — every format the ingestion seam (functions/imaging.py
-    decode_image) accepts, quarantine included. Value-checked against the
-    single-process golden (golden.py)."""
+    """Mixed-format decode coverage (rounds 4-5): the SAME text line
+    encoded as gray/Paeth/RGB/palette/Adam7/16-bit PNG, gray +
+    progressive + 4:2:0-color JPEG, 24-bit BMP, interlaced GIF,
+    LZW+predictor TIFF, plus a corrupt payload — every format the
+    ingestion seam (functions/imaging.py decode_image) accepts,
+    quarantine included. Value-checked against the single-process
+    golden (golden.py)."""
     from ..operators.multimodal import image_decode_stats
     from ..sources.sf_adapter import derive_mixed_assets
 
