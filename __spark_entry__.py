@@ -129,7 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # the driver runs the correctness comparison at sf0.01 (driver contract)
-_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+# the driver's correctness gate runs at sf0.01; the env override lets
+# the local harness sweep other SFs with matching goldens (the golden
+# oracle must always be generated from the SAME sf_dir the Spark side
+# reads, or row counts mismatch by construction)
+_CORRECTNESS_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_CORRECTNESS_SF_DIR", "/root/testdata/sf0.01"
+)
 
 _GOLDEN_COLS = {
     "ocr_recognize": "media_ref, rec_text, n_tokens",

@@ -80,6 +80,9 @@ def compare_one(
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
+    # the golden-parquet oracles must be generated from the SAME sf_dir
+    # the Spark side reads (entry's default is the driver's sf0.01)
+    os.environ["SPARK_GRAFT_CORRECTNESS_SF_DIR"] = sf_dir
     import __spark_entry__ as entrymod
     from vietnamese_ocr_spark.config import get_spark
 

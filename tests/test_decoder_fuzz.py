@@ -11,9 +11,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from vietnamese_ocr_spark.functions.audio import wav_decode
+from vietnamese_ocr_spark.functions.gifbmp import bmp_decode, gif_decode
 from vietnamese_ocr_spark.functions.imaging import decode_image, png_decode
 from vietnamese_ocr_spark.functions.jpeg import jpeg_decode
 from vietnamese_ocr_spark.functions.pdf import pdf_lines
+from vietnamese_ocr_spark.functions.tiff import tiff_decode
 
 _CAUGHT = (ValueError, KeyError, IndexError, OverflowError, TypeError,
            ZeroDivisionError, MemoryError)
@@ -25,7 +27,8 @@ _SETTINGS = dict(max_examples=40, deadline=None,
 @given(st.binary(min_size=0, max_size=400))
 @settings(**_SETTINGS)
 def test_random_bytes_never_escape(data):
-    for dec in (decode_image, png_decode, jpeg_decode, wav_decode, pdf_lines):
+    for dec in (decode_image, png_decode, jpeg_decode, wav_decode, pdf_lines,
+                bmp_decode, gif_decode, tiff_decode):
         try:
             dec(data)
         except _CAUGHT:
@@ -46,11 +49,23 @@ def test_truncated_valid_streams_fail_cleanly(data):
 
     rng = np.random.default_rng(data.draw(st.integers(0, 2**16)))
     img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    from vietnamese_ocr_spark.functions.gifbmp import bmp_encode, gif_encode
+    from vietnamese_ocr_spark.functions.imaging import (
+        png_encode_16,
+        png_encode_interlaced,
+    )
+    from vietnamese_ocr_spark.functions.tiff import tiff_encode
+
     streams = [
         png_encode(img),
+        png_encode_interlaced(img, filter_type=3),
+        png_encode_16(img.astype(np.uint16) << 8),
         jpeg_encode(img, 80),
         jpeg_encode(img, 80, progressive=True),
         pdf_encode([[(72, 700, 10, "short fuzz doc")]]),
+        bmp_encode(img),
+        gif_encode(img, interlace=True),
+        tiff_encode(img, compression="lzw", predictor=True),
     ]
     blob = streams[data.draw(st.integers(0, len(streams) - 1))]
     cut = data.draw(st.integers(0, len(blob) - 1))
