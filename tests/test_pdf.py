@@ -170,3 +170,60 @@ def test_pdf15_through_operator_stage(spark):
     )
     (row,) = pdf_extract_lines(assets).collect()
     assert row["decode_ok"] and row["text"] == "packed object text line"
+
+
+def test_stream_filters_roundtrip_each_and_chained():
+    """Round-5: the non-Flate text-stream filters (PDF 32000-1 §7.4) —
+    LZW (TIFF variant), ASCIIHex, ASCII85, RunLength — each decodes its
+    own fixture encoding exactly, and the parser handles them inside
+    real PDFs."""
+    from vietnamese_ocr_spark.functions.pdf import (
+        _ascii85_decode,
+        _ascii85_encode,
+        _asciihex_decode,
+        _asciihex_encode,
+        _runlength_decode,
+        _runlength_encode,
+        pdf_encode,
+        pdf_main_text,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for blob in (b"", b"a", b"hello world" * 40,
+                 rng.randint(0, 256, 5000).astype(np.uint8).tobytes(),
+                 b"\x00" * 1000 + b"ab" * 500):
+        assert _asciihex_decode(_asciihex_encode(blob)) == blob
+        assert _ascii85_decode(_ascii85_encode(blob)) == blob
+        assert _runlength_decode(_runlength_encode(blob)) == blob
+
+    pages = [[(72.0, 700.0, 11.0, "filter roundtrip line one")],
+             [(72.0, 700.0, 11.0, "and line two")]]
+    for f in ("none", "flate", "lzw", "ahx", "a85", "rl"):
+        text = pdf_main_text(pdf_encode(pages, stream_filter=f))
+        assert "filter roundtrip line one" in text, f
+        assert "and line two" in text, f
+
+
+def test_ascii85_z_shortcut_and_eod():
+    from vietnamese_ocr_spark.functions.pdf import _ascii85_decode
+
+    # 'z' = four zero bytes; whitespace ignored; ~> terminates
+    assert _ascii85_decode(b"z ~> trailing garbage") == b"\x00\x00\x00\x00"
+    import pytest
+
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"v~>")  # 'v' outside the '!'..'u' alphabet
+
+
+def test_unsupported_filter_and_predictor_quarantine():
+    import pytest
+
+    from vietnamese_ocr_spark.functions.pdf import PdfDocument, pdf_encode
+
+    data = pdf_encode([[(72.0, 700.0, 10.0, "x")]], compress=False)
+    bad = data.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length", 1)
+    doc = PdfDocument(bad)
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        doc.page_content(doc.pages()[0])

@@ -8,7 +8,10 @@ covers machine-generated text PDFs:
           object streams (ObjStm expansion, see `_expand_object_streams`),
           indirect objects, dictionaries / arrays / names / strings
           (literal + hex, with escapes), streams with direct or
-          indirect /Length, FlateDecode, page tree traversal
+          indirect /Length, the text-stream filters (FlateDecode,
+          TIFF-variant LZWDecode shared with functions/tiff.py,
+          ASCIIHexDecode, ASCII85Decode, RunLengthDecode, chained),
+          page tree traversal
           (/Root -> /Pages -> /Kids), content-stream text operators
           BT/ET, Tf, Td, TD, Tm, T*, Tj, ', and TJ.
   layout: each shown string is recorded with its device-space (x, y)
@@ -20,8 +23,9 @@ covers machine-generated text PDFs:
           round-trip without any external PDF library.
 
 Out of scope (quarantined with ValueError, same contract as the image
-codecs): encrypted PDFs, CID/Type0 composite fonts, and non-Flate
-stream filters.
+codecs): encrypted PDFs, CID/Type0 composite fonts, stream predictors
+(/DecodeParms /Predictor > 1), LZW EarlyChange=0, and the image-only
+filters (DCTDecode/CCITTFax/JBIG2/JPX).
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
 for the overwhelmingly common one-transform text PDFs this targets.
 """
@@ -30,6 +34,151 @@ from __future__ import annotations
 
 import re
 import zlib
+
+# -- stream filters (PDF 32000-1 §7.4) ---------------------------------------
+# decode + fixture-encode pairs for the non-Flate filters real generators
+# emit; /LZWDecode reuses the TIFF-variant LZW (functions/tiff.py).
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    out = []
+    for ch in data:
+        c = chr(ch)
+        if c == ">":
+            break
+        if c.isspace():
+            continue
+        if c not in "0123456789abcdefABCDEF":
+            raise ValueError(f"bad ASCIIHex character {c!r}")
+        out.append(c)
+    if len(out) % 2:
+        out.append("0")  # spec: odd final digit behaves as if followed by 0
+    return bytes.fromhex("".join(out))
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    while i < len(data):
+        c = data[i]
+        if data[i : i + 2] == b"~>":
+            break
+        i += 1
+        if chr(c).isspace():
+            continue
+        if c == ord("z"):
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (ord("!") <= c <= ord("u")):
+            raise ValueError(f"bad ASCII85 character {c!r}")
+        group.append(c - ord("!"))
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85 group overflow")
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 group of one digit")
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        n = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if k == 4 and n == 0:
+            out += b"z"
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(n % 85)
+            n //= 85
+        out += bytes(ord("!") + d for d in reversed(digits))[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        i += 1
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            chunk = data[i : i + l + 1]
+            if len(chunk) != l + 1:
+                raise ValueError("truncated RunLength literal")
+            out += chunk
+            i += l + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated RunLength run")
+            out += bytes([data[i]]) * (257 - l)
+            i += 1
+    return bytes(out)
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 1 < len(data) and data[j + 1] == data[j])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out) + b"\x80"
+
+
+def _stream_encode(stream: bytes, stream_filter: str | None) -> tuple[bytes, bytes]:
+    """Fixture-side: encode a content stream with the named filter ->
+    (payload, ' /Filter /Name' dict fragment)."""
+    if stream_filter in (None, "none"):
+        return stream, b""
+    if stream_filter == "flate":
+        return zlib.compress(stream, 6), b" /Filter /FlateDecode"
+    if stream_filter == "lzw":
+        from .tiff import _lzw_encode
+
+        return _lzw_encode(stream), b" /Filter /LZWDecode"
+    if stream_filter == "ahx":
+        return _asciihex_encode(stream), b" /Filter /ASCIIHexDecode"
+    if stream_filter == "a85":
+        return _ascii85_encode(stream), b" /Filter /ASCII85Decode"
+    if stream_filter == "rl":
+        return _runlength_encode(stream), b" /Filter /RunLengthDecode"
+    raise ValueError(f"unknown fixture stream filter {stream_filter}")
+
 
 # -- writer (fixtures / oracle side) -----------------------------------------
 
@@ -40,13 +189,17 @@ def _esc(s: str) -> bytes:
 
 
 def pdf_encode(
-    pages: list[list[tuple[float, float, float, str]]], compress: bool = True
+    pages: list[list[tuple[float, float, float, str]]],
+    compress: bool = True,
+    stream_filter: str | None = None,
 ) -> bytes:
     """pages = [[(x, y, font_size, text), ...], ...] -> PDF bytes.
 
     Deterministic; one Helvetica font; each span becomes Tf/Td/Tj inside
     one BT/ET block. `compress=True` Flate-encodes the content streams
-    (the common case real parsers must handle)."""
+    (the common case real parsers must handle); `stream_filter` picks a
+    specific filter instead ('none'|'flate'|'lzw'|'ahx'|'a85'|'rl',
+    overriding `compress`) so every /Filter path is round-trippable."""
     objs: list[bytes] = []  # 1-indexed
 
     def add(body: bytes) -> int:
@@ -67,10 +220,12 @@ def pdf_encode(
             )
         parts.append(b"ET")
         stream = b"\n".join(parts)
-        filt = b""
-        if compress:
-            stream = zlib.compress(stream, 6)
-            filt = b" /Filter /FlateDecode"
+        if stream_filter is not None:
+            stream, filt = _stream_encode(stream, stream_filter)
+        elif compress:
+            stream, filt = _stream_encode(stream, "flate")
+        else:
+            filt = b""
         content_ids.append(
             add(
                 b"<< /Length %d%s >>\nstream\n" % (len(stream), filt)
@@ -444,11 +599,28 @@ class PdfDocument:
         length = self.resolve(obj.get("/Length"))
         if isinstance(length, (int, float)):
             raw = raw[: int(length)] if len(raw) > int(length) else raw
+        parms = self.resolve(obj.get("/DecodeParms"))
+        if isinstance(parms, dict) and int(parms.get("/Predictor", 1) or 1) > 1:
+            raise ValueError("unsupported stream predictor")
+        if isinstance(parms, dict) and int(parms.get("/EarlyChange", 1)) != 1:
+            raise ValueError("unsupported LZW EarlyChange=0")
         filt = self.resolve(obj.get("/Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         for f in filters:
             if f == "/FlateDecode":
                 raw = zlib.decompress(raw)
+            elif f == "/LZWDecode":
+                # PDF LZW (32000-1 §7.4.4) IS the TIFF 6.0 variant:
+                # MSB-first codes, early width change (EarlyChange=1)
+                from .tiff import _lzw_decode
+
+                raw = _lzw_decode(raw)
+            elif f == "/ASCIIHexDecode":
+                raw = _asciihex_decode(raw)
+            elif f == "/ASCII85Decode":
+                raw = _ascii85_decode(raw)
+            elif f == "/RunLengthDecode":
+                raw = _runlength_decode(raw)
             else:
                 raise ValueError(f"unsupported stream filter {f}")
         return raw

@@ -74,7 +74,11 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, n_out: int) -> bytes:
+def _lzw_decode(data: bytes, n_out: int | None = None) -> bytes:
+    """MSB-first early-change LZW (TIFF 6.0 §13; the SAME variant PDF's
+    /LZWDecode uses with its default EarlyChange=1 — functions/pdf.py
+    reuses this). `n_out` bounds the output when the caller knows it
+    (TIFF strips); None decodes until EOI (PDF streams)."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     width = 9
@@ -82,7 +86,7 @@ def _lzw_decode(data: bytes, n_out: int) -> bytes:
     acc = 0
     nbits = 0
     pos = 0
-    while len(out) < n_out:
+    while n_out is None or len(out) < n_out:
         while nbits < width:
             if pos >= len(data):
                 raise ValueError("truncated TIFF LZW stream")
