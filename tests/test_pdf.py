@@ -227,3 +227,51 @@ def test_unsupported_filter_and_predictor_quarantine():
     doc = PdfDocument(bad)
     with pytest.raises(ValueError, match="unsupported stream filter"):
         doc.page_content(doc.pages()[0])
+
+
+def test_type0_identity_h_roundtrip_unicode():
+    """Round-5: composite-font PDFs (Type0 / Identity-H + /ToUnicode
+    CMap) — the layout every modern generator emits for Unicode text.
+    Vietnamese text must survive the 2-byte-CID hex-string path exactly,
+    including reading-order rebuild across scrambled emission."""
+    from vietnamese_ocr_spark.functions.pdf import pdf_encode_type0, pdf_main_text
+
+    pages = [
+        [(72.0, 684.0, 11.0, "dòng thứ hai"), (72.0, 700.0, 11.0, "Xin chào đêm quên")],
+        [(72.0, 700.0, 11.0, "trang hai: nhớ mãi 0123")],
+    ]
+    text = pdf_main_text(pdf_encode_type0(pages))
+    assert text == "Xin chào đêm quên\ndòng thứ hai\ntrang hai: nhớ mãi 0123"
+
+
+def test_parse_tounicode_bfchar_and_both_bfrange_forms():
+    from vietnamese_ocr_spark.functions.pdf import _parse_tounicode
+
+    cmap = b"""
+    begincmap
+    2 beginbfchar
+    <0001> <0058>
+    <0002> <1EC7>
+    endbfchar
+    2 beginbfrange
+    <0010> <0012> <0061>
+    <0020> <0021> [<00E9> <1EA1>]
+    endbfrange
+    endcmap
+    """
+    m = _parse_tounicode(cmap)
+    assert m[1] == "X" and m[2] == "ệ"  # ệ
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert m[0x20] == "é" and m[0x21] == "ạ"
+
+
+def test_type0_without_tounicode_quarantines():
+    import pytest
+
+    from vietnamese_ocr_spark.functions.pdf import PdfDocument, pdf_encode_type0
+
+    data = pdf_encode_type0([[(72.0, 700.0, 10.0, "x")]])
+    bad = data.replace(b" /ToUnicode", b" /Ignored", 1)
+    doc = PdfDocument(bad)
+    with pytest.raises(ValueError, match="ToUnicode"):
+        doc.page_fonts(doc.pages()[0])

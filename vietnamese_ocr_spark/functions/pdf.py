@@ -22,10 +22,14 @@ covers machine-generated text PDFs:
           Flate-compressed content streams) so fixtures and oracles can
           round-trip without any external PDF library.
 
+Composite (Type0/Identity-H) fonts decode through their /ToUnicode
+CMap (bfchar + bfrange, `_parse_tounicode`) — the layout every modern
+Unicode-text generator emits.
 Out of scope (quarantined with ValueError, same contract as the image
-codecs): encrypted PDFs, CID/Type0 composite fonts, stream predictors
-(/DecodeParms /Predictor > 1), LZW EarlyChange=0, and the image-only
-filters (DCTDecode/CCITTFax/JBIG2/JPX).
+codecs): encrypted PDFs, Type0 fonts WITHOUT a /ToUnicode CMap (no
+recoverable text mapping), stream predictors (/DecodeParms /Predictor
+> 1), LZW EarlyChange=0, and the image-only filters
+(DCTDecode/CCITTFax/JBIG2/JPX).
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
 for the overwhelmingly common one-transform text PDFs this targets.
 """
@@ -180,6 +184,65 @@ def _stream_encode(stream: bytes, stream_filter: str | None) -> tuple[bytes, byt
     raise ValueError(f"unknown fixture stream filter {stream_filter}")
 
 
+# -- ToUnicode CMaps (composite / Type0 fonts) --------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9a-fA-F]+)>")
+_HEX_OR_ARR_RE = re.compile(rb"<([0-9a-fA-F]+)>|\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]")
+
+
+def _utf16be(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (PDF 32000-1 §9.10.3): bfchar
+    pairs and bfrange triples (both the dst-start and dst-array forms)
+    -> {CID: unicode string}. Sections other than bf* are ignored."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(cmap):
+        hexes = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            out[int(src, 16)] = _utf16be(dst)
+    for m in _BFRANGE_RE.finditer(cmap):
+        body = m.group(1)
+        toks: list = []
+        for t in _HEX_OR_ARR_RE.finditer(body):
+            toks.append(t.group(1) if t.group(1) is not None else t.group(2))
+        for lo_h, hi_h, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                raise ValueError("bad bfrange bounds")
+            if b"<" not in dst:
+                # dst-start hex form: consecutive codepoints
+                start = int(dst, 16)
+                for i in range(hi - lo + 1):
+                    out[lo + i] = chr(start + i)
+            else:
+                # array form: one dst string per code
+                for i, d in enumerate(_HEX_RE.findall(dst)):
+                    if lo + i <= hi:
+                        out[lo + i] = _utf16be(d)
+    return out
+
+
+def _cid_decoder(cmap: dict[int, str]):
+    """bytes -> str through 2-byte big-endian CIDs (Identity-H, the
+    encoding every modern generator uses for Unicode text). Unmapped
+    CIDs decode to '' — the same silent-drop PIL-style leniency the
+    latin-1 simple-font path gets for free."""
+
+    def dec(raw: bytes) -> str:
+        if len(raw) % 2:
+            raw = raw[:-1]
+        return "".join(
+            cmap.get((raw[i] << 8) | raw[i + 1], "") for i in range(0, len(raw), 2)
+        )
+
+    return dec
+
+
 # -- writer (fixtures / oracle side) -----------------------------------------
 
 
@@ -234,6 +297,117 @@ def pdf_encode(
             )
         )
     pages_id = len(objs) + len(pages) + 1  # forward ref: pages node after pages
+    for cid in content_ids:
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_id, font, cid)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    real_pages_id = add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids))
+    )
+    assert real_pages_id == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    )
+    return bytes(out)
+
+
+def pdf_encode_type0(
+    pages: list[list[tuple[float, float, float, str]]]
+) -> bytes:
+    """Fixture writer: same page model as pdf_encode but text is shown
+    through a Type0 (Identity-H) composite font with a /ToUnicode CMap
+    — the layout every modern generator emits for Unicode (Vietnamese)
+    text. CIDs are assigned in codepoint order (1..N); runs of >=3
+    consecutive codepoints are emitted as bfrange (dst-start form), the
+    rest as bfchar, so BOTH CMap section forms occur in real fixtures;
+    content strings are 2-byte-CID hex strings."""
+    charset = sorted({c for spans in pages for (_x, _y, _s, txt) in spans for c in txt})
+    cid_of = {c: i + 1 for i, c in enumerate(charset)}
+
+    # split into runs of consecutive codepoints (cids are consecutive by
+    # construction, so a codepoint run is a legal dst-start bfrange)
+    runs: list[list[str]] = []
+    for c in charset:
+        if runs and ord(c) == ord(runs[-1][-1]) + 1:
+            runs[-1].append(c)
+        else:
+            runs.append([c])
+    bfranges = [r for r in runs if len(r) >= 3]
+    bfchars = [c for r in runs if len(r) < 3 for c in r]
+    sections = []
+    if bfchars:
+        rows = "\n".join(f"<{cid_of[c]:04x}> <{ord(c):04x}>" for c in bfchars)
+        sections.append(f"{len(bfchars)} beginbfchar\n{rows}\nendbfchar")
+    if bfranges:
+        rows = "\n".join(
+            f"<{cid_of[r[0]]:04x}> <{cid_of[r[-1]]:04x}> <{ord(r[0]):04x}>"
+            for r in bfranges
+        )
+        sections.append(f"{len(bfranges)} beginbfrange\n{rows}\nendbfrange")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + "\n".join(sections)
+        + "\nendcmap\nend\nend"
+    ).encode("ascii")
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    tounicode = add(
+        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+    )
+    desc = add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>"
+    )
+    font = add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+        b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+        b"/ToUnicode %d 0 R >>" % (desc, tounicode)
+    )
+    content_ids = []
+    for spans in pages:
+        parts = [b"BT"]
+        for x, y, size, text in spans:
+            hexs = "".join(f"{cid_of[c]:04x}" for c in text).encode("ascii")
+            parts.append(
+                b"/F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm <%s> Tj"
+                % (size, x, y, hexs)
+            )
+        parts.append(b"ET")
+        stream = zlib.compress(b"\n".join(parts), 6)
+        content_ids.append(
+            add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(stream)
+                + stream
+                + b"\nendstream"
+            )
+        )
+    pages_id = len(objs) + len(pages) + 1
+    page_ids = []
     for cid in content_ids:
         page_ids.append(
             add(
@@ -625,6 +799,29 @@ class PdfDocument:
                 raise ValueError(f"unsupported stream filter {f}")
         return raw
 
+    def page_fonts(self, page_num: int) -> dict:
+        """Resource-name -> bytes->str decoder map for a page's
+        composite (Type0) fonts. Simple fonts are omitted (latin-1
+        fallback in _page_spans); a Type0 font WITHOUT a /ToUnicode
+        CMap has no recoverable text mapping and quarantines."""
+        node = self.resolve(self.objects.get(page_num))
+        out: dict = {}
+        if not isinstance(node, dict):
+            return out
+        res = self.resolve(node.get("/Resources"))
+        fonts = self.resolve(res.get("/Font")) if isinstance(res, dict) else None
+        if not isinstance(fonts, dict):
+            return out
+        for name, ref in fonts.items():
+            fd = self.resolve(ref)
+            if not (isinstance(fd, dict) and fd.get("/Subtype") == "/Type0"):
+                continue
+            tu = fd.get("/ToUnicode")
+            if not (isinstance(tu, tuple) and tu and tu[0] == "ref"):
+                raise ValueError("Type0 font without /ToUnicode CMap")
+            out[name] = _cid_decoder(_parse_tounicode(self.stream_bytes(tu[1])))
+        return out
+
     def pages(self) -> list[int]:
         """Page object numbers in document order (depth-first /Kids)."""
         root = self.resolve(self.trailer.get("/Root"))
@@ -665,12 +862,15 @@ _OP_RE = re.compile(
 )
 
 
-def _page_spans(content: bytes) -> list[dict]:
+def _page_spans(content: bytes, fonts: dict | None = None) -> list[dict]:
     """Interpret BT/ET text blocks: returns [{x, y, size, text}, ...].
 
     Tracks Td/TD/Tm/T* line matrices and the current font size; TJ
     array elements concatenate (kerning numbers ignored for text
-    purposes). Coordinates are the text-line origin in device space."""
+    purposes). Coordinates are the text-line origin in device space.
+    `fonts` maps a resource name selected by Tf ("/F1") to a
+    bytes->str decoder (Type0/ToUnicode composite fonts); names absent
+    from the map decode latin-1 (simple fonts)."""
     spans: list[dict] = []
     lex = _Lexer(content)
     stack: list = []
@@ -678,6 +878,11 @@ def _page_spans(content: bytes) -> list[dict]:
     leading = 0.0
     size = 0.0
     in_text = False
+    cur_font: str | None = None
+
+    def _dec(raw: bytes) -> str:
+        d = fonts.get(cur_font) if fonts else None
+        return d(raw) if d else raw.decode("latin-1")
     while True:
         lex._skip_ws()
         if lex.pos >= len(content):
@@ -702,6 +907,8 @@ def _page_spans(content: bytes) -> list[dict]:
             stack.clear()
         elif op == b"Tf":
             size = float(stack[-1]) if stack else 0.0
+            if len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_font = stack[-2]
             stack.clear()
         elif op in (b"Td", b"TD"):
             if len(stack) >= 2:
@@ -725,16 +932,13 @@ def _page_spans(content: bytes) -> list[dict]:
                 y -= leading if leading else size * 1.2
             if stack and isinstance(stack[-1], bytes):
                 spans.append(
-                    {"x": x, "y": y, "size": size,
-                     "text": stack[-1].decode("latin-1")}
+                    {"x": x, "y": y, "size": size, "text": _dec(stack[-1])}
                 )
             stack.clear()
         elif op == b"TJ":
             if stack and isinstance(stack[-1], list):
                 text = "".join(
-                    el.decode("latin-1")
-                    for el in stack[-1]
-                    if isinstance(el, bytes)
+                    _dec(el) for el in stack[-1] if isinstance(el, bytes)
                 )
                 spans.append({"x": x, "y": y, "size": size, "text": text})
             stack.clear()
@@ -748,7 +952,8 @@ def pdf_extract_spans(data: bytes) -> list[dict]:
     doc = PdfDocument(data)
     out: list[dict] = []
     for pno, pnum in enumerate(doc.pages()):
-        for s in _page_spans(doc.page_content(pnum)):
+        fonts = doc.page_fonts(pnum)
+        for s in _page_spans(doc.page_content(pnum), fonts):
             out.append({"page": pno, **s})
     return out
 

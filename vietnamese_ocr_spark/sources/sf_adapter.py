@@ -264,9 +264,10 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
     is REVERSED inside each page (real generators emit in arbitrary
     order — the extractor must rebuild reading order from layout, which
     is exactly what the oracle checks). Layout rotates by asset: plain
-    1.4, Flate 1.4, LZW-filtered 1.4 (round-5), and the modern PDF 1.5
-    object-stream/xref-stream layout. Pure function of (doc_id, text),
-    shared by the Spark derivation and the golden generator."""
+    1.4, Flate 1.4, LZW-filtered 1.4, Type0/Identity-H composite-font
+    (both round-5), and the modern PDF 1.5 object-stream/xref-stream
+    layout. Pure function of (doc_id, text), shared by the Spark
+    derivation and the golden generator."""
     if doc_id % 3 != 1:
         return None
     from ..functions.pdf import pdf_encode, pdf_encode_15
@@ -282,13 +283,17 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
         ]
         spans.reverse()  # scrambled emission order: layout must fix it
         pages.append(spans)
-    mode = (doc_id // 3) % 5
+    mode = (doc_id // 3) % 6
     if mode == 0:
         payload = pdf_encode(pages, compress=False)
     elif mode == 1:
         payload = pdf_encode_15(pages)  # ObjStm + xref stream
     elif mode == 2:
         payload = pdf_encode(pages, stream_filter="lzw")
+    elif mode == 3:
+        from ..functions.pdf import pdf_encode_type0
+
+        payload = pdf_encode_type0(pages)  # Type0/Identity-H + ToUnicode
     else:
         payload = pdf_encode(pages, compress=True)
     return {"asset_id": f"pdf-{doc_id:08d}", "payload": payload}
