@@ -54,12 +54,14 @@ def test_spans_carry_layout_metadata():
     assert (span["page"], span["x"], span["y"], span["size"]) == (0, 72.5, 640.25, 14.0)
 
 
-def test_rejects_non_pdf_and_encrypted():
+def test_rejects_non_pdf_and_dangling_encrypt():
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_extract_spans(b"%!PS not a pdf")
+    # RC4 encryption is SUPPORTED since round 5 (see the rc4 tests); a
+    # dangling /Encrypt pointing at a missing object still quarantines
     data = pdf_encode([[(72, 700, 11, "x")]], compress=False)
     tampered = data.replace(b"/Root", b"/Encrypt 9 0 R /Root")
-    with pytest.raises(ValueError, match="encrypted"):
+    with pytest.raises(ValueError, match="/Encrypt"):
         pdf_extract_spans(tampered)
 
 
@@ -275,3 +277,57 @@ def test_type0_without_tounicode_quarantines():
     doc = PdfDocument(bad)
     with pytest.raises(ValueError, match="ToUnicode"):
         doc.page_fonts(doc.pages()[0])
+
+
+def test_rc4_encrypted_pdf_opens_with_empty_user_password():
+    """Round-5: RC4 standard security handler (40-bit R2 and 128-bit
+    R3), owner-password-only — the encrypted form that appears in
+    crawls. Text extraction must work without credentials; a composite
+    Type0 layout must survive encryption too (its ToUnicode CMap stream
+    is itself encrypted)."""
+    from vietnamese_ocr_spark.functions.pdf import (
+        pdf_encode,
+        pdf_encode_type0,
+        pdf_encrypt_rc4,
+        pdf_main_text,
+    )
+
+    plain = pdf_encode(
+        [[(72.0, 700.0, 11.0, "secret báo cáo"), (72.0, 684.0, 11.0, "line two")]],
+        compress=True,
+    )
+    for r in (2, 3):
+        assert pdf_main_text(pdf_encrypt_rc4(plain, r=r)) == "secret báo cáo\nline two"
+
+    t0 = pdf_encode_type0([[(72.0, 700.0, 11.0, "mật mã tiếng Việt")]])
+    assert pdf_main_text(pdf_encrypt_rc4(t0)) == "mật mã tiếng Việt"
+
+
+def test_encrypted_pdf_with_real_user_password_quarantines():
+    import pytest
+
+    from vietnamese_ocr_spark.functions.pdf import (
+        PdfDocument,
+        pdf_encode,
+        pdf_encrypt_rc4,
+    )
+
+    plain = pdf_encode([[(72.0, 700.0, 10.0, "x")]])
+    locked = pdf_encrypt_rc4(plain, user_pw="hunter2")
+    with pytest.raises(ValueError, match="user password"):
+        PdfDocument(locked)
+
+
+def test_aes_encryption_quarantines():
+    import pytest
+
+    from vietnamese_ocr_spark.functions.pdf import (
+        PdfDocument,
+        pdf_encode,
+        pdf_encrypt_rc4,
+    )
+
+    enc = pdf_encrypt_rc4(pdf_encode([[(72.0, 700.0, 10.0, "x")]]))
+    bad = enc.replace(b"/V 2", b"/V 4", 1)
+    with pytest.raises(ValueError, match="unsupported PDF encryption"):
+        PdfDocument(bad)

@@ -24,11 +24,14 @@ covers machine-generated text PDFs:
 
 Composite (Type0/Identity-H) fonts decode through their /ToUnicode
 CMap (bfchar + bfrange, `_parse_tounicode`) — the layout every modern
-Unicode-text generator emits.
+Unicode-text generator emits. RC4-encrypted files (standard security
+handler V1/V2, R2/R3) open with an EMPTY user password — the
+owner-password-only form crawls contain (`_setup_encryption`).
 Out of scope (quarantined with ValueError, same contract as the image
-codecs): encrypted PDFs, Type0 fonts WITHOUT a /ToUnicode CMap (no
-recoverable text mapping), stream predictors (/DecodeParms /Predictor
-> 1), LZW EarlyChange=0, and the image-only filters
+codecs): AES-encrypted PDFs (V4/V5) and files with a real user
+password, Type0 fonts WITHOUT a /ToUnicode CMap (no recoverable text
+mapping), stream predictors (/DecodeParms /Predictor > 1), LZW
+EarlyChange=0, and the image-only filters
 (DCTDecode/CCITTFax/JBIG2/JPX).
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
 for the overwhelmingly common one-transform text PDFs this targets.
@@ -182,6 +185,176 @@ def _stream_encode(stream: bytes, stream_filter: str | None) -> tuple[bytes, byt
     if stream_filter == "rl":
         return _runlength_encode(stream), b" /Filter /RunLengthDecode"
     raise ValueError(f"unknown fixture stream filter {stream_filter}")
+
+
+# -- standard security handler (PDF 32000-1 §7.6.3, RC4 V1/V2) ---------------
+# The common crawl case: RC4-encrypted files with an EMPTY user password
+# (owner-password-only protection). AES (V4/V5) stays quarantined.
+
+_ENC_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(b ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_key(user_pw: bytes, o_entry: bytes, p: int, file_id: bytes,
+             r: int, n: int) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    import hashlib
+
+    pw = (user_pw + _ENC_PAD)[:32]
+    key = hashlib.md5(
+        pw + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + file_id
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O dictionary entry."""
+    import hashlib
+
+    pw = ((owner_pw or user_pw) + _ENC_PAD)[:32]
+    key = hashlib.md5(pw).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:n]
+    o = _rc4(key, (user_pw + _ENC_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_user_entry(key: bytes, file_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U dictionary entry."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _ENC_PAD)
+    u = _rc4(key, hashlib.md5(_ENC_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _obj_rc4_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    import hashlib
+
+    d = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return d[: min(len(key) + 5, 16)]
+
+
+def _ser_value(v) -> bytes:
+    """Serialize a parsed object value back to PDF syntax (fixture
+    re-writer for pdf_encrypt_rc4; hex form for strings)."""
+    if isinstance(v, dict):
+        return (
+            b"<< "
+            + b" ".join(
+                k.encode("ascii") + b" " + _ser_value(val) for k, val in v.items()
+            )
+            + b" >>"
+        )
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser_value(x) for x in v) + b" ]"
+    if isinstance(v, tuple) and v and v[0] == "ref":
+        return b"%d 0 R" % v[1]
+    if isinstance(v, bytes):
+        return b"<" + v.hex().encode("ascii") + b">"
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, int):
+        return b"%d" % v
+    if isinstance(v, float):
+        return ("%g" % v).encode("ascii")
+    if isinstance(v, str):  # names (and keywords) are stored as str
+        return v.encode("latin-1")
+    if v is None:
+        return b"null"
+    raise ValueError(f"unserializable PDF value {type(v)}")
+
+
+def pdf_encrypt_rc4(
+    data: bytes, owner_pw: str = "owner", nbits: int = 128, r: int = 3,
+    user_pw: str = "",
+) -> bytes:
+    """Fixture writer: re-emit a classic-xref PDF RC4-encrypted with the
+    standard security handler, EMPTY user password (owner-password-only
+    — the form that appears in crawls and that the parser must open
+    without credentials). r=2 forces 40-bit V1; r=3 is V2/128-bit."""
+    import hashlib
+
+    doc = PdfDocument(data)
+    file_id = hashlib.md5(data).digest()
+    n = (40 if r == 2 else nbits) // 8
+    v = 1 if r == 2 else 2
+    p = -4  # all content permissions denied except viewing
+    upw = user_pw.encode("latin-1")
+    o_entry = _std_owner_entry(owner_pw.encode("latin-1"), upw, r, n)
+    key = _std_key(upw, o_entry, p, file_id, r, n)
+    u_entry = _std_user_entry(key, file_id, r)
+
+    nums = sorted(doc.objects)
+    enc_num = max(nums) + 1
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in nums:
+        obj = doc.objects[num]
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + _ser_value(obj)
+        if num in doc.streams:
+            enc = _rc4(_obj_rc4_key(key, num), doc.streams[num])
+            out += b"\nstream\n" + enc + b"\nendstream"
+        out += b"\nendobj\n"
+    enc_dict = {
+        "/Filter": "/Standard", "/V": v, "/R": r, "/Length": n * 8,
+        "/O": o_entry, "/U": u_entry, "/P": p,
+    }
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + _ser_value(enc_dict) + b"\nendobj\n"
+
+    size = enc_num + 1
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    root = doc.trailer.get("/Root")
+    trailer = {
+        "/Size": size, "/Root": root, "/Encrypt": ("ref", enc_num),
+        "/ID": [file_id, file_id],
+    }
+    out += (
+        b"trailer\n" + _ser_value(trailer)
+        + b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
 
 
 # -- ToUnicode CMaps (composite / Type0 fonts) --------------------------------
@@ -693,14 +866,46 @@ class PdfDocument:
     def __init__(self, data: bytes) -> None:
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF")
-        if b"/Encrypt" in data:
-            raise ValueError("encrypted PDF not supported")
         self.data = data
         self.objects: dict[int, object] = {}
         self.streams: dict[int, bytes] = {}
+        self._enc_key: bytes | None = None
+        self._enc_num: int | None = None
         self._scan_objects()
-        self._expand_object_streams()
         self.trailer = self._trailer()
+        self._setup_encryption()  # before ObjStm expansion: packed
+        self._expand_object_streams()  # objects live in encrypted streams
+
+    def _setup_encryption(self) -> None:
+        """RC4 standard security handler with an empty user password —
+        the common owner-password-only crawl case. Anything else
+        (AES/V4+, a real user password) quarantines."""
+        enc_ref = self.trailer.get("/Encrypt") if isinstance(self.trailer, dict) else None
+        if enc_ref is None:
+            return
+        if isinstance(enc_ref, tuple) and enc_ref and enc_ref[0] == "ref":
+            self._enc_num = enc_ref[1]
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise ValueError("malformed /Encrypt dictionary")
+        v = int(enc.get("/V", 0) or 0)
+        r = int(enc.get("/R", 2) or 2)
+        if enc.get("/Filter") != "/Standard" or v not in (1, 2) or r not in (2, 3):
+            raise ValueError(f"unsupported PDF encryption (V={v} R={r})")
+        n = int(enc.get("/Length", 40) or 40) // 8
+        o_entry = enc.get("/O")
+        u_entry = enc.get("/U")
+        p = int(enc.get("/P", -1) or -1)
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise ValueError("malformed /Encrypt O/U entries")
+        ids = self.resolve(self.trailer.get("/ID"))
+        file_id = ids[0] if isinstance(ids, list) and ids and isinstance(ids[0], bytes) else b""
+        key = _std_key(b"", o_entry, p, file_id, r, n)
+        want_u = _std_user_entry(key, file_id, r)
+        got, want = (u_entry[:16], want_u[:16]) if r >= 3 else (u_entry[:32], want_u[:32])
+        if got != want:
+            raise ValueError("encrypted PDF requires a user password")
+        self._enc_key = key
 
     def _scan_objects(self) -> None:
         """Sequential scan for `N G obj` (robust to mild xref damage —
@@ -773,6 +978,12 @@ class PdfDocument:
         length = self.resolve(obj.get("/Length"))
         if isinstance(length, (int, float)):
             raw = raw[: int(length)] if len(raw) > int(length) else raw
+        if (
+            self._enc_key is not None
+            and num != self._enc_num
+            and not (isinstance(obj, dict) and obj.get("/Type") == "/XRef")
+        ):  # the encrypt dict and xref streams are never encrypted
+            raw = _rc4(_obj_rc4_key(self._enc_key, num), raw)
         parms = self.resolve(obj.get("/DecodeParms"))
         if isinstance(parms, dict) and int(parms.get("/Predictor", 1) or 1) > 1:
             raise ValueError("unsupported stream predictor")

@@ -39,7 +39,7 @@ from .operators.multimodal import (
 )
 from .sources.sf_adapter import _atlas, _derive, mixed_asset, pdf_asset
 
-GOLDEN_VERSION = "r5-4"
+GOLDEN_VERSION = "r5-5"
 BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
