@@ -388,17 +388,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("extract-cli", master=args.master)
     try:
         if args.pdfs:
-            from .sources.pdf_folder import read_pdf_folder
+            from .sources.pdf_folder import read_pdf_folder, read_pdf_media
 
             docs = read_pdf_folder(spark, args.pdfs)
-            # no media table: PDFs yield text spans only
-            empty_media = spark.createDataFrame(
-                [], "media_ref string, png binary, size_b long"
-            )
+            # media = embedded image XObjects (scanned pages) -> the
+            # same OCR stage as any other media span
             result = run_extract_frames(
                 spark,
                 docs,
-                empty_media,
+                read_pdf_media(spark, args.pdfs),
                 args.out,
                 resume=not args.no_resume,
                 n_partitions=args.partitions,

@@ -970,7 +970,10 @@ class PdfDocument:
             v = self.objects.get(v[1])
         return v
 
-    def stream_bytes(self, num: int) -> bytes:
+    def stream_raw(self, num: int) -> bytes:
+        """Length-trimmed, DEcrypted, still-filtered stream bytes (what
+        the image path needs for DCTDecode payloads — they are complete
+        JPEG containers)."""
         obj = self.objects[num]
         raw = self.streams.get(num, b"")
         if not isinstance(obj, dict):
@@ -981,33 +984,43 @@ class PdfDocument:
         if (
             self._enc_key is not None
             and num != self._enc_num
-            and not (isinstance(obj, dict) and obj.get("/Type") == "/XRef")
+            and obj.get("/Type") != "/XRef"
         ):  # the encrypt dict and xref streams are never encrypted
             raw = _rc4(_obj_rc4_key(self._enc_key, num), raw)
-        parms = self.resolve(obj.get("/DecodeParms"))
+        return raw
+
+    @staticmethod
+    def _apply_filter(f: str, raw: bytes) -> bytes:
+        if f == "/FlateDecode":
+            return zlib.decompress(raw)
+        if f == "/LZWDecode":
+            # PDF LZW (32000-1 §7.4.4) IS the TIFF 6.0 variant:
+            # MSB-first codes, early width change (EarlyChange=1)
+            from .tiff import _lzw_decode
+
+            return _lzw_decode(raw)
+        if f == "/ASCIIHexDecode":
+            return _asciihex_decode(raw)
+        if f == "/ASCII85Decode":
+            return _ascii85_decode(raw)
+        if f == "/RunLengthDecode":
+            return _runlength_decode(raw)
+        raise ValueError(f"unsupported stream filter {f}")
+
+    def _stream_filters(self, num: int) -> list:
+        obj = self.objects[num]
+        parms = self.resolve(obj.get("/DecodeParms")) if isinstance(obj, dict) else None
         if isinstance(parms, dict) and int(parms.get("/Predictor", 1) or 1) > 1:
             raise ValueError("unsupported stream predictor")
         if isinstance(parms, dict) and int(parms.get("/EarlyChange", 1)) != 1:
             raise ValueError("unsupported LZW EarlyChange=0")
-        filt = self.resolve(obj.get("/Filter"))
-        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
-            if f == "/FlateDecode":
-                raw = zlib.decompress(raw)
-            elif f == "/LZWDecode":
-                # PDF LZW (32000-1 §7.4.4) IS the TIFF 6.0 variant:
-                # MSB-first codes, early width change (EarlyChange=1)
-                from .tiff import _lzw_decode
+        filt = self.resolve(obj.get("/Filter")) if isinstance(obj, dict) else None
+        return filt if isinstance(filt, list) else ([filt] if filt else [])
 
-                raw = _lzw_decode(raw)
-            elif f == "/ASCIIHexDecode":
-                raw = _asciihex_decode(raw)
-            elif f == "/ASCII85Decode":
-                raw = _ascii85_decode(raw)
-            elif f == "/RunLengthDecode":
-                raw = _runlength_decode(raw)
-            else:
-                raise ValueError(f"unsupported stream filter {f}")
+    def stream_bytes(self, num: int) -> bytes:
+        raw = self.stream_raw(num)
+        for f in self._stream_filters(num):
+            raw = self._apply_filter(f, raw)
         return raw
 
     def page_fonts(self, page_num: int) -> dict:
@@ -1201,3 +1214,150 @@ def pdf_lines(data: bytes, y_tol: float = 2.0) -> list[dict]:
 def pdf_main_text(data: bytes) -> str:
     """Whole-document reading-order text (lines joined with newlines)."""
     return "\n".join(line["text"] for line in pdf_lines(data))
+
+
+# -- image XObjects (scanned-document PDFs) -----------------------------------
+
+
+def pdf_page_images(data: bytes) -> list[dict]:
+    """Extract /Subtype /Image XObjects per page -> [{page, name,
+    payload}] where payload is a decodable image container:
+
+      * /DCTDecode streams ARE complete JPEG files (PDF 32000-1
+        §7.4.8) — passed through verbatim for functions/jpeg.py;
+      * Flate/LZW/raw 8-bit /DeviceGray and /DeviceRGB bitmaps are
+        re-encoded as PNG so every payload speaks the one
+        `decode_image` ingestion contract.
+
+    This is the scanned-document path: a page with no text operators
+    and one big image is a scan, and its payload routes through the
+    SAME OCR stage as any other media span. Unsupported image forms
+    (CCITT/JBIG2/JPX, 1/4-bit, indexed) raise -> callers quarantine.
+    Deterministic order: pages in document order, names sorted."""
+    doc = PdfDocument(data)
+    out: list[dict] = []
+    for pno, pnum in enumerate(doc.pages()):
+        node = doc.resolve(doc.objects.get(pnum))
+        res = doc.resolve(node.get("/Resources")) if isinstance(node, dict) else None
+        xo = doc.resolve(res.get("/XObject")) if isinstance(res, dict) else None
+        if not isinstance(xo, dict):
+            continue
+        for name in sorted(xo):
+            ref = xo[name]
+            if not (isinstance(ref, tuple) and ref and ref[0] == "ref"):
+                continue
+            num = ref[1]
+            d = doc.resolve(ref)
+            if not (isinstance(d, dict) and d.get("/Subtype") == "/Image"):
+                continue
+            filters = doc._stream_filters(num)
+            if filters and filters[-1] == "/DCTDecode":
+                raw = doc.stream_raw(num)
+                for f in filters[:-1]:  # e.g. ASCII85-wrapped JPEG
+                    raw = doc._apply_filter(f, raw)
+                payload = raw
+            else:
+                body = doc.stream_bytes(num)
+                w = int(doc.resolve(d.get("/Width")) or 0)
+                h = int(doc.resolve(d.get("/Height")) or 0)
+                bpc = int(doc.resolve(d.get("/BitsPerComponent")) or 8)
+                cs = doc.resolve(d.get("/ColorSpace"))
+                if bpc != 8 or w <= 0 or h <= 0:
+                    raise ValueError(f"unsupported image XObject ({bpc}-bit)")
+                import numpy as np
+
+                from .imaging import png_encode
+
+                if cs == "/DeviceRGB":
+                    if len(body) < w * h * 3:
+                        raise ValueError("truncated image XObject")
+                    arr = np.frombuffer(body[: w * h * 3], np.uint8).reshape(h, w, 3)
+                elif cs == "/DeviceGray":
+                    if len(body) < w * h:
+                        raise ValueError("truncated image XObject")
+                    arr = np.frombuffer(body[: w * h], np.uint8).reshape(h, w)
+                else:
+                    raise ValueError(f"unsupported image colorspace {cs}")
+                payload = png_encode(arr.copy())
+            out.append({"page": pno, "name": name, "payload": payload})
+    return out
+
+
+def pdf_encode_scanned(
+    page_images: list, quality: int = 90, colorspace: str = "gray",
+    raw_flate: bool = False,
+) -> bytes:
+    """Fixture writer: each uint8 HxW (gray) array becomes one page
+    containing a single image XObject — the scanned-document layout.
+    Default embeds a /DCTDecode (JPEG) stream, the near-universal scan
+    encoding; `raw_flate=True` embeds the Flate-compressed raw bitmap
+    instead (the other common form)."""
+    import numpy as np
+
+    objs: list[bytes] = []
+    streams: dict[int, bytes] = {}
+
+    def add(body: bytes, stream: bytes | None = None) -> int:
+        objs.append(body)
+        if stream is not None:
+            streams[len(objs)] = stream
+        return len(objs)
+
+    image_ids = []
+    content_ids = []
+    for arr in page_images:
+        if not (isinstance(arr, np.ndarray) and arr.dtype == np.uint8 and arr.ndim == 2):
+            raise ValueError("pdf_encode_scanned expects uint8 HxW arrays")
+        h, w = arr.shape
+        if raw_flate:
+            payload = zlib.compress(arr.tobytes(), 6)
+            filt = b"/FlateDecode"
+        else:
+            from .jpeg import jpeg_encode
+
+            payload = jpeg_encode(arr, quality=quality)
+            filt = b"/DCTDecode"
+        image_ids.append(
+            add(
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter %s "
+                b"/Length %d >>" % (w, h, filt, len(payload)),
+                payload,
+            )
+        )
+        content = b"q %d 0 0 %d 72 %d cm /Im1 Do Q" % (w, h, 720 - h)
+        content_ids.append(
+            add(b"<< /Length %d >>" % len(content), content)
+        )
+    pages_id = len(objs) + len(page_images) + 1
+    page_ids = []
+    for img_id, cid in zip(image_ids, content_ids):
+        page_ids.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /XObject << /Im1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_id, img_id, cid)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_ids)
+    real = add(b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_ids)))
+    assert real == pages_id
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body
+        if i in streams:
+            out += b"\nstream\n" + streams[i] + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog, xref_at)
+    )
+    return bytes(out)
