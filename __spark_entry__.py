@@ -147,6 +147,7 @@ _GOLDEN_COLS = {
         "asset_id, fmt, decode_ok, width, height, mean_lum, ink_ratio"
     ),
     "pdf_extract_lines": "asset_id, decode_ok, page, line_no, y, text",
+    "pdf_scanned_ocr": "asset_id, page, name, rec_text, n_tokens",
 }
 
 

@@ -37,9 +37,15 @@ from .operators.multimodal import (
     decode_stats_row,
     image_stats,
 )
-from .sources.sf_adapter import _atlas, _derive, mixed_asset, pdf_asset
+from .sources.sf_adapter import (
+    _atlas,
+    _derive,
+    mixed_asset,
+    pdf_asset,
+    scanned_pdf_asset,
+)
 
-GOLDEN_VERSION = "r5-5"
+GOLDEN_VERSION = "r5-6"
 BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -55,6 +61,7 @@ GOLDEN_NAMES = (
     "multimodal_frame_sample",
     "image_decode_stats",
     "pdf_extract_lines",
+    "pdf_scanned_ocr",
 )
 
 
@@ -210,6 +217,32 @@ def ensure_sf_golden(sf_dir: str) -> dict[str, str]:
             ),
         ),
         paths["image_decode_stats"],
+    )
+
+    # -- scanned-PDF OCR (sf_adapter.scanned_pdf_asset derivation);
+    # reuses the recognizer built above — same weights, same pipeline
+    from .operators.pdfops import scanned_ocr_rows
+
+    scan_rows = [
+        row
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        if (a := scanned_pdf_asset(int(doc_id), text)) is not None
+        for row in scanned_ocr_rows(a["asset_id"], a["payload"], recognizer)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            scan_rows,
+            schema=pa.schema(
+                [
+                    ("asset_id", pa.string()),
+                    ("page", pa.int32()),
+                    ("name", pa.string()),
+                    ("rec_text", pa.string()),
+                    ("n_tokens", pa.int32()),
+                ]
+            ),
+        ),
+        paths["pdf_scanned_ocr"],
     )
 
     # -- PDF layout parse (sf_adapter.pdf_asset derivation)

@@ -57,3 +57,53 @@ def pdf_extract_lines(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(stage, PDF_LINES_DDL)
+
+
+# -- scanned-document OCR (round-5) -------------------------------------------
+
+SCANNED_OCR_DDL = (
+    "asset_id string, page int, name string, rec_text string, n_tokens int"
+)
+
+
+def scanned_ocr_rows(asset_id: str, payload: bytes, recognizer) -> list[dict]:
+    """One scanned PDF's per-image recognitions (shared by stage +
+    golden): extract image XObjects, run the SAME recognition pipeline
+    any media span gets. Undecodable PDFs quarantine as one null row."""
+    from ..functions.pdf import pdf_page_images
+    from ..model.pipeline import recognize_png_batch
+
+    try:
+        imgs = pdf_page_images(bytes(payload))
+    except Exception:
+        return [
+            {"asset_id": asset_id, "page": None, "name": None,
+             "rec_text": None, "n_tokens": None}
+        ]
+    texts, hist, _ok = recognize_png_batch([i["payload"] for i in imgs], recognizer)
+    return [
+        {"asset_id": asset_id, "page": im["page"], "name": im["name"],
+         "rec_text": t, "n_tokens": int(h.sum())}
+        for im, t, h in zip(imgs, texts, hist)
+    ]
+
+
+def pdf_scanned_ocr(assets: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> per-embedded-image OCR rows. Payloads
+    enter one Arrow-batched stage (weights hydrate once per Python
+    worker); only scalar rows come out — PDFs never cross a shuffle."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..model.recognizer import Recognizer, build_weights
+
+        recognizer = Recognizer(build_weights())
+        for pdf in batches:
+            rows: list[dict] = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rows.extend(scanned_ocr_rows(asset_id, payload, recognizer))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "page", "name", "rec_text", "n_tokens"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(stage, SCANNED_OCR_DDL)

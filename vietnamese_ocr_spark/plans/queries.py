@@ -432,6 +432,18 @@ def q_pdf_extract_lines(spark, sf):
     return pdf_extract_lines(derive_pdf_assets(spark, sf))
 
 
+def q_pdf_scanned_ocr(spark, sf):
+    """Scanned-document OCR (round-5): deterministic scanned PDFs
+    (image XObjects: JPEG-DCT, Flate raw, RC4-encrypted) derived
+    in-executors from the documents table; each embedded image routes
+    through the SAME recognition pipeline as any media span.
+    Value-checked against the single-process golden."""
+    from ..operators.pdfops import pdf_scanned_ocr
+    from ..sources.sf_adapter import derive_scanned_pdf_assets
+
+    return pdf_scanned_ocr(derive_scanned_pdf_assets(spark, sf))
+
+
 def q_multimodal_audio_features(spark, sf):
     """Stub-decoded audio assets derived deterministically from documents;
     exercises the framed-feature mapInPandas plumbing. The driver surface
@@ -1849,6 +1861,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "image_decode_stats": q_image_decode_stats,
     "pdf_extract_lines": q_pdf_extract_lines,
+    "pdf_scanned_ocr": q_pdf_scanned_ocr,
     # text-analysis family
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1888,7 +1901,6 @@ QUERIES = {
     "conf_histogram": q_conf_histogram,
     "lineage_counts": q_lineage_counts,
     "stitch_order": q_stitch_order,
-    "concat_aug": q_concat_aug,
     # round-5 rotation (judge item 5): lm_perplexity + tpch_q1/q17 get
     # their driver-green round on record; the long-green fixture-stable
     # union_merge / split_99_1 / epoch_shuffle rows move to
@@ -1919,8 +1931,10 @@ EXTRA_QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q1_rollup": q_tpch_q1_rollup,
     "window_running_sum": q_window_running_sum,
-    # rotated OUT round-5 to admit lm_perplexity/tpch_q1/tpch_q17
-    # (long-green fixture-stable rows; still compare-harness verified)
+    # rotated OUT round-5 to admit lm_perplexity/tpch_q1/tpch_q17 and
+    # pdf_scanned_ocr (long-green fixture-stable rows; still
+    # compare-harness verified)
+    "concat_aug": q_concat_aug,
     "union_merge": q_union_merge,
     "split_99_1": q_split_99_1,
     "epoch_shuffle": q_epoch_shuffle,

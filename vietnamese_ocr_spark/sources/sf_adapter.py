@@ -317,3 +317,48 @@ def derive_pdf_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
     return base.mapInPandas(gen, PDF_ASSETS_SCHEMA)
+
+
+# -- scanned-PDF assets (round-5: the scanned-document OCR surface) -----------
+
+SCANNED_PDF_SCHEMA = "asset_id string, payload binary"
+
+
+def scanned_pdf_asset(doc_id: int, text: str) -> dict | None:
+    """Derive one scanned-document PDF for doc_id % 6 == 5 (disjoint
+    from pdf_asset's doc_id % 3 == 1 space): the doc's rendered text
+    line embedded as a one-page image XObject. Encoding rotates:
+    DCTDecode (JPEG q95), Flate raw bitmap, and RC4-encrypted Flate —
+    the three scanned-PDF forms the parser opens. Pure function of
+    (doc_id, text), shared by the Spark stage and the golden
+    generator."""
+    if doc_id % 6 != 5:
+        return None
+    from ..functions.pdf import pdf_encode_scanned, pdf_encrypt_rc4
+
+    atlas, vocab_set = _atlas()
+    truth = "".join(c for c in text if c in vocab_set)[:12] or "scan"
+    img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
+    v = (doc_id // 6) % 3
+    if v == 0:
+        payload = pdf_encode_scanned([img], quality=95)
+    elif v == 1:
+        payload = pdf_encode_scanned([img], raw_flate=True)
+    else:
+        payload = pdf_encrypt_rc4(pdf_encode_scanned([img], raw_flate=True))
+    return {"asset_id": f"scan-{doc_id:08d}", "payload": payload}
+
+
+def derive_scanned_pdf_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                a
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+                if (a := scanned_pdf_asset(int(doc_id), text)) is not None
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return base.mapInPandas(gen, SCANNED_PDF_SCHEMA)
