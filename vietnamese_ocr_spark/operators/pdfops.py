@@ -5,9 +5,12 @@ Assets are (asset_id, payload) rows with PDF bytes; the stage decodes
 each document with the pure-stdlib parser (functions/pdf.py), rebuilds
 reading order from the layout (emission order in real PDFs is
 arbitrary), and fans out one row per reconstructed line. Corrupt or
-unsupported payloads (encrypted, xref-stream, CID fonts) are
-quarantined as a single decode_ok=false row — at 10^12 docs a bad byte
-must never kill the job, same contract as the image stages."""
+unsupported payloads (AES-encrypted, user-password-protected,
+Type0-without-ToUnicode) are quarantined as a single decode_ok=false
+row — at 10^12 docs a bad byte must never kill the job, same contract
+as the image stages. (Classic AND xref-stream layouts, all text-stream
+filters, RC4 encryption, and composite fonts parse — see
+functions/pdf.py's module docstring for the current scope.)"""
 
 from __future__ import annotations
 
