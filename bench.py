@@ -65,6 +65,7 @@ HEADLINE = [
     "multimodal_image_stats",
     "image_decode_stats",
     "pdf_extract_lines",
+    "pdf_scanned_ocr",
 ]
 
 
