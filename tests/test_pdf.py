@@ -331,3 +331,60 @@ def test_aes_encryption_quarantines():
     bad = enc.replace(b"/V 2", b"/V 4", 1)
     with pytest.raises(ValueError, match="unsupported PDF encryption"):
         PdfDocument(bad)
+
+
+def test_decode_parms_predictors():
+    """Round-5: /DecodeParms predictors on Flate output — PNG
+    predictor 12 (what real generators put on xref streams) and TIFF
+    horizontal differencing (2); bad predictors still quarantine."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from vietnamese_ocr_spark.functions.imaging import _forward_filter
+    from vietnamese_ocr_spark.functions.pdf import PdfDocument, _apply_predictor
+
+    rng = np.random.RandomState(9)
+    data = rng.randint(0, 256, (12, 10), dtype=np.uint8)  # 12 rows x 10 cols
+
+    # PNG up-filter (type 2) rows == what a predictor-12 writer emits
+    raw = _forward_filter(data, 1, 2)
+    got = _apply_predictor(raw, {"/Predictor": 12, "/Columns": 10})
+    assert got == data.tobytes()
+
+    # TIFF horizontal differencing, 2 colors
+    arr = rng.randint(0, 256, (6, 5, 2), dtype=np.uint8)
+    diff = arr.astype(np.int16).copy()
+    diff[:, 1:, :] -= arr.astype(np.int16)[:, :-1, :]
+    got = _apply_predictor(
+        (diff & 0xFF).astype(np.uint8).tobytes(),
+        {"/Predictor": 2, "/Columns": 5, "/Colors": 2},
+    )
+    assert got == arr.tobytes()
+
+    with pytest.raises(ValueError, match="predictor"):
+        _apply_predictor(b"\x00" * 11, {"/Predictor": 3, "/Columns": 10})
+
+    # end-to-end: a hand-built PDF whose content stream is Flate +
+    # predictor-12 must parse (each content row = one predictor row)
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (pred ok) Tj ET"
+    cols = len(content)
+    filtered = bytes([2]) + content  # one row, Up filter vs zero prev
+    stream = zlib.compress(filtered, 6)
+    obj4 = (
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 12 /Columns %d >> >>\nstream\n" % (len(stream), cols)
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + obj4
+        + stream
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    )
+    doc = PdfDocument(body)
+    assert doc.stream_bytes(4) == content

@@ -27,12 +27,14 @@ CMap (bfchar + bfrange, `_parse_tounicode`) — the layout every modern
 Unicode-text generator emits. RC4-encrypted files (standard security
 handler V1/V2, R2/R3) open with an EMPTY user password — the
 owner-password-only form crawls contain (`_setup_encryption`).
+/DecodeParms predictors (TIFF horizontal + PNG 10-15, the
+predictor-12 Flate every modern xref-stream writer emits) undo through
+the shared PNG unfilter.
 Out of scope (quarantined with ValueError, same contract as the image
 codecs): AES-encrypted PDFs (V4/V5) and files with a real user
 password, Type0 fonts WITHOUT a /ToUnicode CMap (no recoverable text
-mapping), stream predictors (/DecodeParms /Predictor > 1), LZW
-EarlyChange=0, and the image-only filters
-(DCTDecode/CCITTFax/JBIG2/JPX).
+mapping), LZW EarlyChange=0, and CCITTFax/JBIG2/JPX image filters
+(DCTDecode = JPEG decodes via pdf_page_images).
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
 for the overwhelmingly common one-transform text PDFs this targets.
 """
@@ -185,6 +187,43 @@ def _stream_encode(stream: bytes, stream_filter: str | None) -> tuple[bytes, byt
     if stream_filter == "rl":
         return _runlength_encode(stream), b" /Filter /RunLengthDecode"
     raise ValueError(f"unknown fixture stream filter {stream_filter}")
+
+
+def _apply_predictor(raw: bytes, parms: dict) -> bytes:
+    """Undo a /DecodeParms predictor on filter output (PDF 32000-1
+    §7.4.4.4): 2 = TIFF horizontal differencing, 10-15 = PNG row
+    predictors (per-row filter tag; the SAME unfilter the PNG codec
+    uses — functions/imaging._png_unfilter). Predictor-12 Flate is what
+    nearly every real generator emits for xref streams."""
+    pred = int(parms.get("/Predictor", 1) or 1)
+    if pred <= 1:
+        return raw
+    colors = int(parms.get("/Colors", 1) or 1)
+    bpc = int(parms.get("/BitsPerComponent", 8) or 8)
+    cols = int(parms.get("/Columns", 1) or 1)
+    if bpc != 8 or colors < 1 or cols < 1:
+        raise ValueError(f"unsupported predictor layout ({bpc}-bit)")
+    import numpy as np
+
+    rowlen = cols * colors
+    if pred == 2:  # TIFF horizontal differencing
+        if len(raw) % rowlen:
+            raise ValueError("predictor row misalignment")
+        arr = np.frombuffer(raw, np.uint8).reshape(-1, cols, colors)
+        return (
+            (np.cumsum(arr.astype(np.int64), axis=1) & 0xFF)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    if 10 <= pred <= 15:  # PNG predictors, one tag byte per row
+        from .imaging import _png_unfilter
+
+        stride = rowlen + 1
+        if len(raw) % stride:
+            raise ValueError("predictor row misalignment")
+        flat = np.frombuffer(raw, np.uint8).reshape(-1, stride)
+        return _png_unfilter(flat, flat.shape[0], rowlen, colors).tobytes()
+    raise ValueError(f"unsupported predictor {pred}")
 
 
 # -- standard security handler (PDF 32000-1 §7.6.3, RC4 V1/V2) ---------------
@@ -1008,19 +1047,29 @@ class PdfDocument:
         raise ValueError(f"unsupported stream filter {f}")
 
     def _stream_filters(self, num: int) -> list:
+        """[(filter_name, decode_parms_dict_or_None), ...] — DecodeParms
+        may be one dict (single filter) or an array parallel to a
+        /Filter array (PDF 32000-1 §7.4.1)."""
         obj = self.objects[num]
-        parms = self.resolve(obj.get("/DecodeParms")) if isinstance(obj, dict) else None
-        if isinstance(parms, dict) and int(parms.get("/Predictor", 1) or 1) > 1:
-            raise ValueError("unsupported stream predictor")
-        if isinstance(parms, dict) and int(parms.get("/EarlyChange", 1)) != 1:
-            raise ValueError("unsupported LZW EarlyChange=0")
         filt = self.resolve(obj.get("/Filter")) if isinstance(obj, dict) else None
-        return filt if isinstance(filt, list) else ([filt] if filt else [])
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        parms = self.resolve(obj.get("/DecodeParms")) if isinstance(obj, dict) else None
+        plist = parms if isinstance(parms, list) else [parms] * len(filters)
+        out = []
+        for f, p in zip(filters, plist + [None] * (len(filters) - len(plist))):
+            p = self.resolve(p)
+            p = p if isinstance(p, dict) else None
+            if p is not None and int(p.get("/EarlyChange", 1)) != 1:
+                raise ValueError("unsupported LZW EarlyChange=0")
+            out.append((f, p))
+        return out
 
     def stream_bytes(self, num: int) -> bytes:
         raw = self.stream_raw(num)
-        for f in self._stream_filters(num):
+        for f, parms in self._stream_filters(num):
             raw = self._apply_filter(f, raw)
+            if parms is not None:
+                raw = _apply_predictor(raw, parms)
         return raw
 
     def page_fonts(self, page_num: int) -> dict:
@@ -1251,10 +1300,12 @@ def pdf_page_images(data: bytes) -> list[dict]:
             if not (isinstance(d, dict) and d.get("/Subtype") == "/Image"):
                 continue
             filters = doc._stream_filters(num)
-            if filters and filters[-1] == "/DCTDecode":
+            if filters and filters[-1][0] == "/DCTDecode":
                 raw = doc.stream_raw(num)
-                for f in filters[:-1]:  # e.g. ASCII85-wrapped JPEG
+                for f, parms in filters[:-1]:  # e.g. ASCII85-wrapped JPEG
                     raw = doc._apply_filter(f, raw)
+                    if parms is not None:
+                        raw = _apply_predictor(raw, parms)
                 payload = raw
             else:
                 body = doc.stream_bytes(num)
