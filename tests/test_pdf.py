@@ -388,3 +388,17 @@ def test_decode_parms_predictors():
     )
     doc = PdfDocument(body)
     assert doc.stream_bytes(4) == content
+
+
+def test_rc4_encrypted_pdf15_objstm_layout():
+    """RC4 x PDF 1.5: the ObjStm container stream decrypts before
+    expansion, so packed objects come back from an encrypted modern
+    layout too."""
+    from vietnamese_ocr_spark.functions.pdf import (
+        pdf_encode_15,
+        pdf_encrypt_rc4,
+        pdf_main_text,
+    )
+
+    data = pdf_encode_15([[(72.0, 700.0, 11.0, "modern encrypted layout")]])
+    assert pdf_main_text(pdf_encrypt_rc4(data)) == "modern encrypted layout"
