@@ -307,6 +307,16 @@ def _obj_rc4_key(key: bytes, num: int, gen: int = 0) -> bytes:
     return d[: min(len(key) + 5, 16)]
 
 
+def _obj_aes_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 for /AESV2: the RC4 salt plus the spec's 'sAlT'
+    constant; always 16 bytes."""
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + b"sAlT"
+    ).digest()[:16]
+
+
 def _ser_value(v) -> bytes:
     """Serialize a parsed object value back to PDF syntax (fixture
     re-writer for pdf_encrypt_rc4; hex form for strings)."""
@@ -388,6 +398,72 @@ def pdf_encrypt_rc4(
     trailer = {
         "/Size": size, "/Root": root, "/Encrypt": ("ref", enc_num),
         "/ID": [file_id, file_id],
+    }
+    out += (
+        b"trailer\n" + _ser_value(trailer)
+        + b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
+
+
+def pdf_encrypt_aes(
+    data: bytes, owner_pw: str = "owner", user_pw: str = ""
+) -> bytes:
+    """Fixture writer: re-emit a PDF AES-128-encrypted (/V 4 /R 4,
+    crypt filter /AESV2) with an empty user password by default. Unlike
+    RC4, AES-CBC changes stream lengths (IV + padding), so each stream
+    dict's /Length is rewritten. IVs are deterministic per object
+    (fixtures must be reproducible; decryption is IV-agnostic)."""
+    import hashlib
+
+    doc = PdfDocument(data)
+    file_id = hashlib.md5(data).digest()
+    n, r, v, p = 16, 4, 4, -4
+    upw = user_pw.encode("latin-1")
+    o_entry = _std_owner_entry(owner_pw.encode("latin-1"), upw, r, n)
+    key = _std_key(upw, o_entry, p, file_id, r, n)
+    u_entry = _std_user_entry(key, file_id, r)
+
+    from .aes import aes128_cbc_encrypt
+
+    nums = sorted(doc.objects)
+    enc_num = max(nums) + 1
+    out = bytearray(b"%PDF-1.6\n")
+    offsets: dict[int, int] = {}
+    for num in nums:
+        obj = doc.objects[num]
+        offsets[num] = len(out)
+        if num in doc.streams:
+            iv = hashlib.md5(b"iv%d" % num).digest()[:16]
+            enc = aes128_cbc_encrypt(doc.streams[num], _obj_aes_key(key, num), iv)
+            if isinstance(obj, dict):
+                obj = {**obj, "/Length": len(enc)}
+            out += b"%d 0 obj\n" % num + _ser_value(obj)
+            out += b"\nstream\n" + enc + b"\nendstream"
+        else:
+            out += b"%d 0 obj\n" % num + _ser_value(obj)
+        out += b"\nendobj\n"
+    enc_dict = {
+        "/Filter": "/Standard", "/V": v, "/R": r, "/Length": 128,
+        "/CF": {"/StdCF": {"/CFM": "/AESV2", "/AuthEvent": "/DocOpen",
+                           "/Length": 16}},
+        "/StmF": "/StdCF", "/StrF": "/StdCF",
+        "/O": o_entry, "/U": u_entry, "/P": p,
+    }
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + _ser_value(enc_dict) + b"\nendobj\n"
+
+    size = enc_num + 1
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    trailer = {
+        "/Size": size, "/Root": doc.trailer.get("/Root"),
+        "/Encrypt": ("ref", enc_num), "/ID": [file_id, file_id],
     }
     out += (
         b"trailer\n" + _ser_value(trailer)
@@ -910,6 +986,7 @@ class PdfDocument:
         self.streams: dict[int, bytes] = {}
         self._enc_key: bytes | None = None
         self._enc_num: int | None = None
+        self._enc_aes = False
         self._scan_objects()
         self.trailer = self._trailer()
         self._setup_encryption()  # before ObjStm expansion: packed
@@ -929,9 +1006,21 @@ class PdfDocument:
             raise ValueError("malformed /Encrypt dictionary")
         v = int(enc.get("/V", 0) or 0)
         r = int(enc.get("/R", 2) or 2)
-        if enc.get("/Filter") != "/Standard" or v not in (1, 2) or r not in (2, 3):
+        if enc.get("/Filter") != "/Standard":
+            raise ValueError("unsupported PDF security handler")
+        if v == 4 and r == 4:
+            # crypt-filter form: AES-128 (/AESV2) only
+            cf = self.resolve(enc.get("/CF"))
+            stdcf = self.resolve(cf.get("/StdCF")) if isinstance(cf, dict) else None
+            cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+            if cfm != "/AESV2":
+                raise ValueError(f"unsupported PDF encryption (V=4 CFM={cfm})")
+            self._enc_aes = True
+            n = 16
+        elif v in (1, 2) and r in (2, 3):
+            n = int(enc.get("/Length", 40) or 40) // 8
+        else:
             raise ValueError(f"unsupported PDF encryption (V={v} R={r})")
-        n = int(enc.get("/Length", 40) or 40) // 8
         o_entry = enc.get("/O")
         u_entry = enc.get("/U")
         p = int(enc.get("/P", -1) or -1)
@@ -1025,7 +1114,12 @@ class PdfDocument:
             and num != self._enc_num
             and obj.get("/Type") != "/XRef"
         ):  # the encrypt dict and xref streams are never encrypted
-            raw = _rc4(_obj_rc4_key(self._enc_key, num), raw)
+            if self._enc_aes:
+                from .aes import aes128_cbc_decrypt
+
+                raw = aes128_cbc_decrypt(raw, _obj_aes_key(self._enc_key, num))
+            else:
+                raw = _rc4(_obj_rc4_key(self._enc_key, num), raw)
         return raw
 
     @staticmethod

@@ -264,7 +264,7 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
     is REVERSED inside each page (real generators emit in arbitrary
     order — the extractor must rebuild reading order from layout, which
     is exactly what the oracle checks). Layout rotates by asset: plain
-    1.4, Flate 1.4, LZW-filtered 1.4, Type0/Identity-H composite-font, RC4-encrypted
+    1.4, Flate 1.4, LZW-filtered 1.4, Type0/Identity-H composite-font, RC4- and AES-encrypted
     (both round-5), and the modern PDF 1.5 object-stream/xref-stream
     layout. Pure function of (doc_id, text), shared by the Spark
     derivation and the golden generator."""
@@ -299,6 +299,11 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
 
         # owner-password-only RC4: must open with no credentials
         payload = pdf_encrypt_rc4(pdf_encode(pages, compress=True))
+    elif mode == 5:
+        from ..functions.pdf import pdf_encrypt_aes
+
+        # owner-password-only AES-128 (/AESV2 crypt filter)
+        payload = pdf_encrypt_aes(pdf_encode(pages, compress=True))
     else:
         payload = pdf_encode(pages, compress=True)
     return {"asset_id": f"pdf-{doc_id:08d}", "payload": payload}
