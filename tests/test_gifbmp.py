@@ -166,3 +166,44 @@ def test_decode_image_gif_color_is_bt601():
 def test_decode_image_still_rejects_unknown():
     with pytest.raises(ValueError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+
+
+def test_gif_offset_frame_pastes_onto_logical_screen():
+    """Round-6 (advice): a first frame smaller than / offset within the
+    logical screen must come back at the FULL screen geometry with the
+    frame pasted at (top, left) over the background index — PIL's
+    behavior (reference ingestion, src/utils/inference.py:125)."""
+    import struct
+
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.gifbmp import gif_decode, gif_encode
+
+    frame = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    data = bytearray(gif_encode(frame))
+    # widen the logical screen to 6x5, set background index 7,
+    # and move the image descriptor to (left=3, top=1)
+    struct.pack_into("<HH", data, 6, 6, 5)
+    data[11] = 7
+    desc = data.index(0x2C, 13 + 768)
+    struct.pack_into("<HH", data, desc + 1, 3, 1)
+    out = gif_decode(bytes(data))
+    assert out.shape == (5, 6)
+    expect = np.full((5, 6), 7, dtype=np.uint8)
+    expect[1:3, 3:5] = frame
+    assert np.array_equal(out, expect)
+
+
+def test_gif_frame_outside_screen_quarantines():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from vietnamese_ocr_spark.functions.gifbmp import gif_decode, gif_encode
+
+    data = bytearray(gif_encode(np.zeros((2, 2), dtype=np.uint8)))
+    desc = data.index(0x2C, 13 + 768)
+    struct.pack_into("<HH", data, desc + 1, 1, 1)  # 2x2 at (1,1) on 2x2
+    with pytest.raises(ValueError, match="outside logical screen"):
+        gif_decode(bytes(data))

@@ -402,3 +402,66 @@ def test_rc4_encrypted_pdf15_objstm_layout():
 
     data = pdf_encode_15([[(72.0, 700.0, 11.0, "modern encrypted layout")]])
     assert pdf_main_text(pdf_encrypt_rc4(data)) == "modern encrypted layout"
+
+
+def test_single_parms_dict_with_filter_array_binds_to_final_filter():
+    """Round-6 (advice): a single /DecodeParms dict next to a /Filter
+    ARRAY belongs to the final (data) filter only — replicating it
+    across stages would run the PNG predictor after the ASCIIHex stage
+    too and corrupt the decoded bytes."""
+    import zlib
+
+    from vietnamese_ocr_spark.functions.pdf import (
+        PdfDocument,
+        _asciihex_encode,
+    )
+
+    content = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (chained parms) Tj ET"
+    cols = len(content)
+    filtered = bytes([2]) + content  # predictor-12 Up row vs zero prev
+    stream = _asciihex_encode(zlib.compress(filtered, 6))
+    obj4 = (
+        b"4 0 obj\n<< /Length %d /Filter [/ASCIIHexDecode /FlateDecode] "
+        b"/DecodeParms << /Predictor 12 /Columns %d >> >>\nstream\n"
+        % (len(stream), cols)
+    )
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + obj4
+        + stream
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n"
+    )
+    doc = PdfDocument(body)
+    assert doc.stream_bytes(4) == content
+
+
+def test_bfrange_dst_start_surrogate_pair_increments_last_unit():
+    """Round-6 (advice): a multi-code-unit UTF-16BE dst-start (plane-1
+    surrogate pair) increments only the final code unit — the whole hex
+    run is NOT one scalar."""
+    from vietnamese_ocr_spark.functions.pdf import _parse_tounicode
+
+    cmap = (
+        b"2 beginbfrange\n"
+        b"<0000> <0002> <D835DC00>\n"
+        b"<0010> <0011> <0041>\n"
+        b"endbfrange\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[0] == "\U0001d400" and m[1] == "\U0001d401" and m[2] == "\U0001d402"
+    assert m[0x10] == "A" and m[0x11] == "B"
+
+
+def test_ser_value_floats_never_use_exponent_notation():
+    """Round-6 (advice): PDF real syntax has no exponent form."""
+    from vietnamese_ocr_spark.functions.pdf import _ser_value
+
+    assert _ser_value(1e-05) == b"0.00001"
+    assert _ser_value(2.0) == b"2"
+    assert _ser_value(-0.5) == b"-0.5"
+    for v in (1e-07, 1234567890.125, -3e-06):
+        assert b"e" not in _ser_value(v).lower()

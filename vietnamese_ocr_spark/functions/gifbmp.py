@@ -273,7 +273,7 @@ def gif_decode(data: bytes) -> np.ndarray:
     """Decode the first frame of a GIF (see module docstring)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -321,6 +321,17 @@ def gif_decode(data: bytes) -> np.ndarray:
             out = np.empty_like(idx)
             out[_interlace_order(h)] = idx
             idx = out
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            # Frame smaller than / offset within the logical screen:
+            # PIL (the reference ingestion) returns the FULL screen with
+            # the frame pasted at (top, left) over the background index.
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame outside logical screen")
+            canvas = np.full(
+                (sh, sw), bg if bg < len(pal) else 0, dtype=np.uint8
+            )
+            canvas[top : top + h, left : left + w] = idx
+            idx = canvas
         if int(idx.max()) >= len(pal):
             raise ValueError("GIF index outside color table")
         if np.array_equal(pal[:, 0], pal[:, 1]) and np.array_equal(

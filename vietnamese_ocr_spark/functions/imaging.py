@@ -307,7 +307,14 @@ def png_decode(data: bytes) -> np.ndarray:
         if off != len(raw):
             raise ValueError("PNG data length mismatch")
     if depth == 16:
-        # big-endian samples: high byte is the standard 16->8 mapping
+        # Big-endian samples: take the high byte (the standard 16->8
+        # mapping, == x*255/65535 rounded down per libpng). DELIBERATE
+        # DIVERGENCE from PIL: Pillow opens 16-bit grayscale PNG as mode
+        # "I" and convert('L') then CLIPS sample values at 255, turning
+        # nearly every real 16-bit image solid white. We keep the
+        # high-byte mapping because it preserves image content; only
+        # degenerate sub-8-bit-range 16-bit files differ from a PIL
+        # pipeline, and those are unreadable under PIL anyway.
         out = out.reshape(height, width * channels, 2)[:, :, 0].copy()
     if ctype == 0:
         return out.reshape(height, width)
@@ -323,9 +330,14 @@ def decode_image(data: bytes) -> np.ndarray:
     """Decode PNG / JPEG (baseline + progressive) / BMP / GIF payload
     bytes to uint8 HxW grayscale (PIL convert('L') semantics: BT.601
     luma, alpha ignored — the reference's ingestion contract,
-    src/utils/inference.py:125 and src/utils/dataloader.py:44). Raises
-    ValueError on unknown formats and on corrupt payloads; callers
-    quarantine."""
+    src/utils/inference.py:125 and src/utils/dataloader.py:44).
+
+    One documented divergence from PIL: 16-bit PNG samples map to 8-bit
+    via the high byte (libpng's scale), NOT PIL's mode-I clip-at-255 —
+    see png_decode; the clip destroys content, the high byte keeps it.
+
+    Raises ValueError on unknown formats and on corrupt payloads;
+    callers quarantine."""
     if data[:8] == _PNG_SIG:
         arr = png_decode(data)
     elif data[:2] == b"\xff\xd8":

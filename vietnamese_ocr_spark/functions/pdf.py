@@ -339,7 +339,11 @@ def _ser_value(v) -> bytes:
     if isinstance(v, int):
         return b"%d" % v
     if isinstance(v, float):
-        return ("%g" % v).encode("ascii")
+        # PDF real syntax has no exponent form, so '%g'-style 1e-05 is
+        # invalid; emit fixed-point and trim trailing zeros.
+        s = "%.10f" % v
+        s = s.rstrip("0").rstrip(".") or "0"
+        return s.encode("ascii")
     if isinstance(v, str):  # names (and keywords) are stored as str
         return v.encode("latin-1")
     if v is None:
@@ -503,10 +507,22 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
             if hi < lo or hi - lo > 0xFFFF:
                 raise ValueError("bad bfrange bounds")
             if b"<" not in dst:
-                # dst-start hex form: consecutive codepoints
-                start = int(dst, 16)
+                # dst-start hex form: decode as UTF-16BE code units and
+                # increment only the FINAL code unit (PDF 32000-1
+                # §9.10.3) — a multi-unit dst such as a surrogate pair
+                # <D835DC00> must not be read as one giant scalar.
+                h = dst.decode("ascii")
+                if len(h) % 4:  # pad odd/short runs to unit width
+                    h = h.zfill(((len(h) + 3) // 4) * 4)
+                units = [int(h[j : j + 4], 16) for j in range(0, len(h), 4)]
                 for i in range(hi - lo + 1):
-                    out[lo + i] = chr(start + i)
+                    last = units[-1] + i
+                    if last > 0xFFFF:
+                        raise ValueError("bfrange dst overflows code unit")
+                    seq = units[:-1] + [last]
+                    out[lo + i] = b"".join(
+                        u.to_bytes(2, "big") for u in seq
+                    ).decode("utf-16-be")
             else:
                 # array form: one dst string per code
                 for i, d in enumerate(_HEX_RE.findall(dst)):
@@ -1148,7 +1164,16 @@ class PdfDocument:
         filt = self.resolve(obj.get("/Filter")) if isinstance(obj, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(obj.get("/DecodeParms")) if isinstance(obj, dict) else None
-        plist = parms if isinstance(parms, list) else [parms] * len(filters)
+        if isinstance(parms, list):
+            plist = parms
+        elif parms is not None and len(filters) > 1:
+            # Single parms dict + filter array (malformed but seen in
+            # the wild): per §7.4.1 intent the parms belong to the final
+            # (data) filter only — replicating them would run the
+            # predictor after EVERY stage and corrupt the bytes.
+            plist = [None] * (len(filters) - 1) + [parms]
+        else:
+            plist = [parms] * len(filters)
         out = []
         for f, p in zip(filters, plist + [None] * (len(filters) - len(plist))):
             p = self.resolve(p)
