@@ -356,8 +356,22 @@ def decode_image(data: bytes) -> np.ndarray:
         from .tiff import tiff_decode
 
         arr = tiff_decode(data)
+    elif len(data) >= 2 and data[0:1] == b"P" and data[1] in b"123456":
+        from .pnmico import pnm_decode
+
+        arr = pnm_decode(data)
+    elif data[:4] == b"\x00\x00\x01\x00":
+        from .pnmico import ico_decode
+
+        arr = ico_decode(data)
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import webp_decode
+
+        arr = webp_decode(data)
     else:
-        raise ValueError("unknown image format (not PNG/JPEG/BMP/GIF/TIFF)")
+        raise ValueError(
+            "unknown image format (not PNG/JPEG/BMP/GIF/TIFF/PNM/ICO/WebP)"
+        )
     if arr.ndim == 3:
         if arr.shape[2] == 2:  # gray+alpha: PIL convert('L') drops alpha
             return arr[:, :, 0].copy()
