@@ -15,7 +15,9 @@ from vietnamese_ocr_spark.functions.gifbmp import bmp_decode, gif_decode
 from vietnamese_ocr_spark.functions.imaging import decode_image, png_decode
 from vietnamese_ocr_spark.functions.jpeg import jpeg_decode
 from vietnamese_ocr_spark.functions.pdf import pdf_lines
+from vietnamese_ocr_spark.functions.pnmico import ico_decode, pnm_decode
 from vietnamese_ocr_spark.functions.tiff import tiff_decode
+from vietnamese_ocr_spark.functions.webp import webp_decode
 
 _CAUGHT = (ValueError, KeyError, IndexError, OverflowError, TypeError,
            ZeroDivisionError, MemoryError)
@@ -28,7 +30,8 @@ _SETTINGS = dict(max_examples=40, deadline=None,
 @settings(**_SETTINGS)
 def test_random_bytes_never_escape(data):
     for dec in (decode_image, png_decode, jpeg_decode, wav_decode, pdf_lines,
-                bmp_decode, gif_decode, tiff_decode):
+                bmp_decode, gif_decode, tiff_decode, pnm_decode, ico_decode,
+                webp_decode):
         try:
             dec(data)
         except _CAUGHT:
@@ -66,6 +69,9 @@ def test_truncated_valid_streams_fail_cleanly(data):
         bmp_encode(img),
         gif_encode(img, interlace=True),
         tiff_encode(img, compression="lzw", predictor=True),
+        __import__("vietnamese_ocr_spark.functions.pnmico", fromlist=["x"]).pnm_encode(img),
+        __import__("vietnamese_ocr_spark.functions.pnmico", fromlist=["x"]).ico_encode(img),
+        __import__("vietnamese_ocr_spark.functions.webp", fromlist=["x"]).webp_encode(img, subtract_green=True),
     ]
     blob = streams[data.draw(st.integers(0, len(streams) - 1))]
     cut = data.draw(st.integers(0, len(blob) - 1))

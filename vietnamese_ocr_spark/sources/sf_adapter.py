@@ -137,8 +137,9 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
     """Derive one mixed-format image asset for even doc_ids: the SAME
     rendered text line encoded as gray PNG (filters 0/4, sequential /
     Adam7-interlaced / 16-bit), RGB PNG, palette PNG, gray/color JPEG,
-    24-bit BMP, interlaced GIF, LZW+predictor TIFF, or a deliberately
-    corrupt payload — the format mix a raw web crawl hands an extraction
+    24-bit BMP, interlaced GIF, LZW+predictor TIFF, lossless WebP
+    (predictor / cross-color transforms), 16-bit binary PGM, PNG-in-ICO,
+    or a deliberately corrupt payload — the format mix a raw web crawl hands an extraction
     job. Pure function of (doc_id, text): shared verbatim by the Spark
     stage and the golden generator."""
     if doc_id % 2 != 0:
@@ -153,7 +154,7 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
     atlas, vocab_set = _atlas()
     truth = "".join(c for c in text if c in vocab_set)[:12] or "mixed"
     img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
-    variant = (doc_id // 2) % 15
+    variant = (doc_id // 2) % 19
     asset_id = f"mix-{doc_id:08d}"
     if variant in (0, 1):
         return {"asset_id": asset_id, "fmt": "png-gray", "payload": png_encode(img)}
@@ -229,6 +230,42 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
             "asset_id": asset_id,
             "fmt": "png-gray16",
             "payload": png_encode_16((img.astype(np.uint16) << 8) | 0x2A),
+        }
+    if variant == 15:
+        from ..functions.webp import webp_encode
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "webp-gray",
+            "payload": webp_encode(
+                img[:, :512], subtract_green=True, predictor=11,
+                predictor_bits=4,
+            ),
+        }
+    if variant == 16:
+        from ..functions.webp import webp_encode
+
+        rgb = np.stack([img, img // 2 + 99, 255 - img // 3], axis=-1)
+        return {
+            "asset_id": asset_id,
+            "fmt": "webp-rgb-ccolor",
+            "payload": webp_encode(rgb[:, :512], cross_color=(50, 200, 128)),
+        }
+    if variant == 17:
+        from ..functions.pnmico import pnm_encode
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "pgm-gray16",
+            "payload": pnm_encode(img, maxval=65535),
+        }
+    if variant == 18:
+        from ..functions.pnmico import ico_encode
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "ico-png",
+            "payload": ico_encode(img[:256, :256], as_png=True),
         }
     # variant 9: truncated PNG — exercises quarantine, not an error path
     return {
