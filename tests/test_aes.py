@@ -83,3 +83,44 @@ def test_aes256_v5_still_quarantines():
     bad = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6", 1)
     with pytest.raises(ValueError, match="unsupported PDF encryption"):
         PdfDocument(bad)
+
+
+def test_fips197_appendix_c_192_and_256():
+    """Round-6: the generalized key schedule (Nk=6/8) pinned to the
+    FIPS-197 Appendix C.2/C.3 known-answer vectors."""
+    from vietnamese_ocr_spark.functions.aes import (
+        aes_decrypt_block,
+        aes_encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert aes_encrypt_block(pt, k192).hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert aes_encrypt_block(pt, k256).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    for k in (k192, k256):
+        assert aes_decrypt_block(aes_encrypt_block(pt, k), k) == pt
+
+
+def test_cbc_nopad_roundtrip_all_key_sizes():
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.aes import (
+        aes_cbc_decrypt,
+        aes_cbc_decrypt_nopad,
+        aes_cbc_encrypt,
+        aes_cbc_encrypt_nopad,
+    )
+
+    rng = np.random.RandomState(3)
+    iv = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
+    for klen in (16, 24, 32):
+        key = bytes(rng.randint(0, 256, klen, dtype=np.uint8))
+        blob = bytes(rng.randint(0, 256, 64, dtype=np.uint8))
+        assert aes_cbc_decrypt_nopad(
+            aes_cbc_encrypt_nopad(blob, key, iv), key, iv
+        ) == blob
+        padded = bytes(rng.randint(0, 256, 37, dtype=np.uint8))
+        assert aes_cbc_decrypt(aes_cbc_encrypt(padded, key, iv), key) == padded

@@ -465,3 +465,60 @@ def test_ser_value_floats_never_use_exponent_notation():
     assert _ser_value(-0.5) == b"-0.5"
     for v in (1e-07, 1234567890.125, -3e-06):
         assert b"e" not in _ser_value(v).lower()
+
+
+def test_aes256_r6_and_r5_roundtrip():
+    """Round-6: ISO 32000-2 /V 5 AES-256 — R6 (Algorithm 2.B hardened
+    hash) and the deprecated R5 bare-SHA-256 variant both open with an
+    empty user password; /Perms verifies against the unwrapped key."""
+    from vietnamese_ocr_spark.functions.pdf import (
+        pdf_encode,
+        pdf_encrypt_aes256,
+        pdf_main_text,
+    )
+
+    data = pdf_encode(
+        [[(72.0, 700.0, 11.0, "aes256 secret line")],
+         [(72.0, 700.0, 11.0, "page two")]]
+    )
+    for r in (6, 5):
+        text = pdf_main_text(pdf_encrypt_aes256(data, r=r))
+        assert "aes256 secret line" in text and "page two" in text
+
+
+def test_aes256_objstm_layout_and_owner_path():
+    from vietnamese_ocr_spark.functions.pdf import (
+        pdf_encode,
+        pdf_encode_15,
+        pdf_encrypt_aes256,
+        pdf_main_text,
+    )
+
+    enc = pdf_encrypt_aes256(pdf_encode_15([[(72.0, 700.0, 11.0, "modern aes256")]]))
+    assert pdf_main_text(enc) == "modern aes256"
+    # real user password but EMPTY owner password: the owner auth path
+    data = pdf_encode([[(72.0, 700.0, 11.0, "owner path")]])
+    enc_u = pdf_encrypt_aes256(data, user_pw="secret", owner_pw="")
+    assert "owner path" in pdf_main_text(enc_u)
+
+
+def test_aes256_real_passwords_and_bad_perms_quarantine():
+    import pytest
+
+    from vietnamese_ocr_spark.functions.pdf import (
+        PdfDocument,
+        pdf_encode,
+        pdf_encrypt_aes256,
+    )
+
+    data = pdf_encode([[(72.0, 700.0, 10.0, "x")]])
+    enc = pdf_encrypt_aes256(data, user_pw="secret", owner_pw="secret2")
+    with pytest.raises(ValueError, match="requires a user password"):
+        PdfDocument(enc)
+    good = pdf_encrypt_aes256(data)
+    # corrupt the /UE key blob: auth still passes (U hash) but the
+    # unwrapped key is wrong -> /Perms check must catch it
+    idx = good.index(b"/UE <") + 5
+    bad = good[:idx] + (b"00" if good[idx:idx+2] != b"00" else b"11") + good[idx+2:]
+    with pytest.raises(ValueError, match="Perms|padding"):
+        PdfDocument(bad)

@@ -1,4 +1,4 @@
-"""Pure-Python AES-128 (FIPS-197) + CBC/PKCS#7, for PDF /AESV2 streams.
+"""Pure-Python AES-128/192/256 (FIPS-197) + CBC, for PDF /AESV2+/AESV3.
 
 Built from the public standard: the S-box is COMPUTED (GF(2^8)
 multiplicative inverse + affine transform, FIPS-197 §5.1.1) rather than
@@ -49,36 +49,47 @@ def _tables() -> dict:
     inv_sbox = [0] * 256
     for i, v in enumerate(sbox):
         inv_sbox[v] = i
-    # round constants for AES-128 key expansion
+    # round constants for key expansion (10 covers all key sizes)
     rcon = [1]
     for _ in range(9):
         rcon.append(_gfmul(rcon[-1], 2))
-    _TABLES = {"sbox": sbox, "inv_sbox": inv_sbox, "rcon": rcon}
+    # GF(2^8) multiply tables for the (inv)MixColumns constants: one
+    # table lookup per byte instead of a bit-loop per byte
+    mul = {c: [_gfmul(x, c) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+    _TABLES = {"sbox": sbox, "inv_sbox": inv_sbox, "rcon": rcon, "mul": mul}
     return _TABLES
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
+    """FIPS-197 §5.2 for Nk in {4, 6, 8} (AES-128/192/256)."""
     t = _tables()
     sbox, rcon = t["sbox"], t["rcon"]
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    nk = len(key) // 4
+    if nk not in (4, 6, 8) or len(key) % 4:
+        raise ValueError("AES key must be 16/24/32 bytes")
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         tmp = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             tmp = tmp[1:] + tmp[:1]
             tmp = [sbox[b] for b in tmp]
-            tmp[0] ^= rcon[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], tmp)])
-    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(11)]  # 11 round keys
+            tmp[0] ^= rcon[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            tmp = [sbox[b] for b in tmp]
+        w.append([a ^ b for a, b in zip(w[i - nk], tmp)])
+    return [sum(w[r * 4 : r * 4 + 4], []) for r in range(nr + 1)]
 
 
 def _encrypt_block(block: bytes, rk: list[list[int]]) -> bytes:
     sbox = _tables()["sbox"]
+    nr = len(rk) - 1
     s = [block[r + 4 * c] for c in range(4) for r in range(4)]  # column-major
     s = [b ^ k for b, k in zip(s, _colmajor(rk[0]))]
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = [sbox[b] for b in s]
         s = _shift_rows(s)
-        if rnd < 10:
+        if rnd < nr:
             s = _mix_columns(s)
         s = [b ^ k for b, k in zip(s, _colmajor(rk[rnd]))]
     return bytes(s[c * 4 + r] for c in range(4) for r in range(4))
@@ -86,9 +97,10 @@ def _encrypt_block(block: bytes, rk: list[list[int]]) -> bytes:
 
 def _decrypt_block(block: bytes, rk: list[list[int]]) -> bytes:
     inv_sbox = _tables()["inv_sbox"]
+    nr = len(rk) - 1
     s = [block[r + 4 * c] for c in range(4) for r in range(4)]
-    s = [b ^ k for b, k in zip(s, _colmajor(rk[10]))]
-    for rnd in range(9, -1, -1):
+    s = [b ^ k for b, k in zip(s, _colmajor(rk[nr]))]
+    for rnd in range(nr - 1, -1, -1):
         s = _inv_shift_rows(s)
         s = [inv_sbox[b] for b in s]
         s = [b ^ k for b, k in zip(s, _colmajor(rk[rnd]))]
@@ -124,24 +136,27 @@ def _inv_shift_rows(s: list[int]) -> list[int]:
 
 
 def _mix_columns(s: list[int]) -> list[int]:
+    m2, m3 = _tables()["mul"][2], _tables()["mul"][3]
     out = [0] * 16
     for c in range(4):
-        a = s[c * 4 : c * 4 + 4]
-        out[c * 4 + 0] = _gfmul(a[0], 2) ^ _gfmul(a[1], 3) ^ a[2] ^ a[3]
-        out[c * 4 + 1] = a[0] ^ _gfmul(a[1], 2) ^ _gfmul(a[2], 3) ^ a[3]
-        out[c * 4 + 2] = a[0] ^ a[1] ^ _gfmul(a[2], 2) ^ _gfmul(a[3], 3)
-        out[c * 4 + 3] = _gfmul(a[0], 3) ^ a[1] ^ a[2] ^ _gfmul(a[3], 2)
+        a0, a1, a2, a3 = s[c * 4 : c * 4 + 4]
+        out[c * 4 + 0] = m2[a0] ^ m3[a1] ^ a2 ^ a3
+        out[c * 4 + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
+        out[c * 4 + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
+        out[c * 4 + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
     return out
 
 
 def _inv_mix_columns(s: list[int]) -> list[int]:
+    mul = _tables()["mul"]
+    m9, m11, m13, m14 = mul[9], mul[11], mul[13], mul[14]
     out = [0] * 16
     for c in range(4):
-        a = s[c * 4 : c * 4 + 4]
-        out[c * 4 + 0] = _gfmul(a[0], 14) ^ _gfmul(a[1], 11) ^ _gfmul(a[2], 13) ^ _gfmul(a[3], 9)
-        out[c * 4 + 1] = _gfmul(a[0], 9) ^ _gfmul(a[1], 14) ^ _gfmul(a[2], 11) ^ _gfmul(a[3], 13)
-        out[c * 4 + 2] = _gfmul(a[0], 13) ^ _gfmul(a[1], 9) ^ _gfmul(a[2], 14) ^ _gfmul(a[3], 11)
-        out[c * 4 + 3] = _gfmul(a[0], 11) ^ _gfmul(a[1], 13) ^ _gfmul(a[2], 9) ^ _gfmul(a[3], 14)
+        a0, a1, a2, a3 = s[c * 4 : c * 4 + 4]
+        out[c * 4 + 0] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+        out[c * 4 + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+        out[c * 4 + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+        out[c * 4 + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
     return out
 
 
@@ -175,6 +190,81 @@ def aes128_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
 
 def aes128_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     """Inverse of aes128_cbc_encrypt: data = iv + ciphertext."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad AES-CBC stream length")
+    rk = _expand_key(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rk), prev))
+        prev = block
+    pad = out[-1]
+    if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad AES padding (wrong key or corrupt stream)")
+    return bytes(out[:-pad])
+
+
+def aes_encrypt_block(block: bytes, key: bytes) -> bytes:
+    """Single-block ECB for any FIPS-197 key size (PDF /Perms entry)."""
+    if len(block) != 16:
+        raise ValueError("AES block must be 16 bytes")
+    return _encrypt_block(block, _expand_key(key))
+
+
+def aes_decrypt_block(block: bytes, key: bytes) -> bytes:
+    if len(block) != 16:
+        raise ValueError("AES block must be 16 bytes")
+    return _decrypt_block(block, _expand_key(key))
+
+
+def aes_cbc_encrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
+    """Raw CBC, no padding, no IV prefix — the PDF 2.0 key-wrap shape
+    (Algorithm 2.B's inner encrypt, /UE /OE, ISO 32000-2 §7.6.4.4)."""
+    if len(iv) != 16 or len(data) % 16:
+        raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(block, rk)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
+    if len(iv) != 16 or len(data) % 16:
+        raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rk), prev))
+        prev = block
+    return bytes(out)
+
+
+def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
+    """PKCS#7-pad + CBC, iv-prefixed (PDF string/stream form), any key
+    size — the /AESV3 (256-bit) generalization of aes128_cbc_encrypt."""
+    if len(iv) != 16:
+        raise ValueError("bad IV length")
+    rk = _expand_key(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(block, rk)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(data: bytes, key: bytes) -> bytes:
+    """Inverse of aes_cbc_encrypt: data = iv + ciphertext."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC stream length")
     rk = _expand_key(key)

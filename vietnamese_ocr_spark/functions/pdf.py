@@ -317,6 +317,39 @@ def _obj_aes_key(key: bytes, num: int, gen: int = 0) -> bytes:
     ).digest()[:16]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened password hash):
+    iterated SHA-256/384/512 selected by an AES-128-CBC mixing step;
+    at least 64 rounds, then until E's last byte <= rounds - 32."""
+    import hashlib
+
+    from .aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k1, k[:16], k[16:32])
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """R5 (deprecated Adobe extension) is a bare SHA-256; R6 is 2.B."""
+    import hashlib
+
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return _hash_2b(password, salt, udata)
+
+
 def _ser_value(v) -> bytes:
     """Serialize a parsed object value back to PDF syntax (fixture
     re-writer for pdf_encrypt_rc4; hex form for strings)."""
@@ -465,6 +498,84 @@ def pdf_encrypt_aes(
             out += b"%010d 00000 n \n" % offsets[num]
         else:
             out += b"0000000000 65535 f \n"
+    trailer = {
+        "/Size": size, "/Root": doc.trailer.get("/Root"),
+        "/Encrypt": ("ref", enc_num), "/ID": [file_id, file_id],
+    }
+    out += (
+        b"trailer\n" + _ser_value(trailer)
+        + b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
+    )
+    return bytes(out)
+
+def pdf_encrypt_aes256(
+    data: bytes, user_pw: str = "", owner_pw: str = "owner", r: int = 6
+) -> bytes:
+    """Fixture writer: re-emit a PDF AES-256-encrypted (/V 5 /R 6 by
+    default, crypt filter /AESV3, ISO 32000-2) with an empty user
+    password. Salts, file key and IVs are deterministic (fixtures must
+    be reproducible; decryption reads the IV from the stream). r=5
+    writes the deprecated bare-SHA-256 Adobe variant."""
+    import hashlib
+
+    from .aes import aes_cbc_encrypt, aes_cbc_encrypt_nopad, aes_encrypt_block
+
+    doc = PdfDocument(data)
+    upw = user_pw.encode("utf-8")
+    opw = owner_pw.encode("utf-8")
+    file_key = hashlib.sha256(b"fixture-file-key" + data[:64]).digest()
+    u_vs, u_ks = b"UVALSALT", b"UKEYSALT"
+    o_vs, o_ks = b"OVALSALT", b"OKEYSALT"
+    u_entry = _r6_hash(upw, u_vs, b"", r) + u_vs + u_ks
+    ue = aes_cbc_encrypt_nopad(file_key, _r6_hash(upw, u_ks, b"", r), b"\x00" * 16)
+    o_entry = _r6_hash(opw, o_vs, u_entry, r) + o_vs + o_ks
+    oe = aes_cbc_encrypt_nopad(
+        file_key, _r6_hash(opw, o_ks, u_entry, r), b"\x00" * 16
+    )
+    p = -4
+    perms_clear = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"fix!"
+    )
+    perms = aes_encrypt_block(perms_clear, file_key)
+
+    nums = sorted(doc.objects)
+    enc_num = max(nums) + 1
+    out = bytearray(b"%PDF-2.0\n")
+    offsets: dict[int, int] = {}
+    for num in nums:
+        obj = doc.objects[num]
+        offsets[num] = len(out)
+        if num in doc.streams:
+            iv = hashlib.md5(b"iv256-%d" % num).digest()[:16]
+            enc = aes_cbc_encrypt(doc.streams[num], file_key, iv)
+            if isinstance(obj, dict):
+                obj = {**obj, "/Length": len(enc)}
+            out += b"%d 0 obj\n" % num + _ser_value(obj)
+            out += b"\nstream\n" + enc + b"\nendstream"
+        else:
+            out += b"%d 0 obj\n" % num + _ser_value(obj)
+        out += b"\nendobj\n"
+    enc_dict = {
+        "/Filter": "/Standard", "/V": 5, "/R": r, "/Length": 256,
+        "/CF": {"/StdCF": {"/CFM": "/AESV3", "/AuthEvent": "/DocOpen",
+                           "/Length": 32}},
+        "/StmF": "/StdCF", "/StrF": "/StdCF",
+        "/O": o_entry, "/U": u_entry, "/OE": oe, "/UE": ue,
+        "/P": p, "/Perms": perms,
+    }
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + _ser_value(enc_dict) + b"\nendobj\n"
+
+    size = enc_num + 1
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % size
+    for num in range(1, size):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    file_id = hashlib.md5(data).digest()
     trailer = {
         "/Size": size, "/Root": doc.trailer.get("/Root"),
         "/Encrypt": ("ref", enc_num), "/ID": [file_id, file_id],
@@ -1003,6 +1114,7 @@ class PdfDocument:
         self._enc_key: bytes | None = None
         self._enc_num: int | None = None
         self._enc_aes = False
+        self._enc_v5 = False
         self._scan_objects()
         self.trailer = self._trailer()
         self._setup_encryption()  # before ObjStm expansion: packed
@@ -1024,6 +1136,17 @@ class PdfDocument:
         r = int(enc.get("/R", 2) or 2)
         if enc.get("/Filter") != "/Standard":
             raise ValueError("unsupported PDF security handler")
+        if v == 5 and r in (5, 6):
+            # PDF 2.0 (ISO 32000-2): AES-256 via /AESV3, SHA-2 password
+            # hashing (Algorithm 2.B for R6), same file key for every
+            # object (no per-object derivation)
+            cf = self.resolve(enc.get("/CF"))
+            stdcf = self.resolve(cf.get("/StdCF")) if isinstance(cf, dict) else None
+            cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+            if cfm != "/AESV3":
+                raise ValueError(f"unsupported PDF encryption (V=5 CFM={cfm})")
+            self._setup_encryption_v5(enc, r)
+            return
         if v == 4 and r == 4:
             # crypt-filter form: AES-128 (/AESV2) only
             cf = self.resolve(enc.get("/CF"))
@@ -1049,6 +1172,38 @@ class PdfDocument:
         got, want = (u_entry[:16], want_u[:16]) if r >= 3 else (u_entry[:32], want_u[:32])
         if got != want:
             raise ValueError("encrypted PDF requires a user password")
+        self._enc_key = key
+
+    def _setup_encryption_v5(self, enc: dict, r: int) -> None:
+        """Algorithms 2.A/2.B (ISO 32000-2 §7.6.4.3-4): authenticate the
+        EMPTY user password (or the empty owner password) against /U
+        (/O) and unwrap the 256-bit file key from /UE (/OE). Files with
+        a real password quarantine, same contract as the RC4 path."""
+        from .aes import aes_cbc_decrypt_nopad, aes_decrypt_block
+
+        u, o = enc.get("/U"), enc.get("/O")
+        ue, oe = enc.get("/UE"), enc.get("/OE")
+        if not (isinstance(u, bytes) and len(u) >= 48) or not isinstance(
+            ue, bytes
+        ) or len(ue) != 32:
+            raise ValueError("malformed /Encrypt U/UE entries")
+        u_hash, u_vs, u_ks = u[:32], u[32:40], u[40:48]
+        if _r6_hash(b"", u_vs, b"", r) == u_hash:
+            inter = _r6_hash(b"", u_ks, b"", r)
+            key = aes_cbc_decrypt_nopad(ue, inter, b"\x00" * 16)
+        elif isinstance(o, bytes) and len(o) >= 48 and isinstance(oe, bytes) \
+                and len(oe) == 32 \
+                and _r6_hash(b"", o[32:40], u[:48], r) == o[:32]:
+            inter = _r6_hash(b"", o[40:48], u[:48], r)
+            key = aes_cbc_decrypt_nopad(oe, inter, b"\x00" * 16)
+        else:
+            raise ValueError("encrypted PDF requires a user password")
+        perms = enc.get("/Perms")
+        if isinstance(perms, bytes) and len(perms) == 16:
+            if aes_decrypt_block(perms, key)[9:12] != b"adb":
+                raise ValueError("bad /Perms (wrong key or corrupt)")
+        self._enc_aes = True
+        self._enc_v5 = True
         self._enc_key = key
 
     def _scan_objects(self) -> None:
@@ -1130,7 +1285,11 @@ class PdfDocument:
             and num != self._enc_num
             and obj.get("/Type") != "/XRef"
         ):  # the encrypt dict and xref streams are never encrypted
-            if self._enc_aes:
+            if self._enc_v5:
+                from .aes import aes_cbc_decrypt
+
+                raw = aes_cbc_decrypt(raw, self._enc_key)
+            elif self._enc_aes:
                 from .aes import aes128_cbc_decrypt
 
                 raw = aes128_cbc_decrypt(raw, _obj_aes_key(self._enc_key, num))
