@@ -154,8 +154,12 @@ def test_decode_image_dispatch_and_gray_conversion():
     # RGBA: alpha ignored (PIL convert('L') semantics)
     rgba = np.dstack([rgb, np.full((18, 25), 7, np.uint8)])
     assert np.array_equal(decode_image(png_encode(rgba)), grayscale(rgb))
+    # WebP routes to the VP8L decoder since round 6; a RIFF/WEBP shell
+    # with no VP8L chunk quarantines with a format-specific message
+    with pytest.raises(ValueError, match="without VP8L"):
+        decode_image(b"RIFF\x04\x00\x00\x00WEBP")
     with pytest.raises(ValueError, match="unknown image format"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBP not supported")
+        decode_image(b"AVIFnot an image either")
     # GIF is a supported format since round 5; corrupt GIF bytes still
     # raise (quarantine), just with a format-specific message
     with pytest.raises(ValueError):

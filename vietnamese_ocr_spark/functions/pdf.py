@@ -745,7 +745,8 @@ def pdf_encode(
 
 
 def pdf_encode_type0(
-    pages: list[list[tuple[float, float, float, str]]]
+    pages: list[list[tuple[float, float, float, str]]],
+    embed_cmap_font: bool = False,
 ) -> bytes:
     """Fixture writer: same page model as pdf_encode but text is shown
     through a Type0 (Identity-H) composite font with a /ToUnicode CMap
@@ -753,7 +754,12 @@ def pdf_encode_type0(
     text. CIDs are assigned in codepoint order (1..N); runs of >=3
     consecutive codepoints are emitted as bfrange (dst-start form), the
     rest as bfchar, so BOTH CMap section forms occur in real fixtures;
-    content strings are 2-byte-CID hex strings."""
+    content strings are 2-byte-CID hex strings.
+
+    embed_cmap_font=True writes the OTHER real-world layout: NO
+    /ToUnicode, but an embedded /FontFile2 whose TrueType cmap maps
+    codepoint->gid(=cid) — text is only recoverable by inverting the
+    font cmap (page_fonts' fallback path)."""
     charset = sorted({c for spans in pages for (_x, _y, _s, txt) in spans for c in txt})
     cid_of = {c: i + 1 for i, c in enumerate(charset)}
 
@@ -790,19 +796,41 @@ def pdf_encode_type0(
         objs.append(body)
         return len(objs)
 
-    tounicode = add(
-        b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
-    )
-    desc = add(
-        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
-        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> >>"
-    )
-    font = add(
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
-        b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
-        b"/ToUnicode %d 0 R >>" % (desc, tounicode)
-    )
+    if embed_cmap_font:
+        from .truetype import ttf_encode_cmap
+
+        ttf = ttf_encode_cmap({ord(c): cid for c, cid in cid_of.items()})
+        fontfile = add(
+            b"<< /Length %d /Length1 %d >>\nstream\n" % (len(ttf), len(ttf))
+            + ttf + b"\nendstream"
+        )
+        fdesc = add(
+            b"<< /Type /FontDescriptor /FontName /Fixture /Flags 4 "
+            b"/FontFile2 %d 0 R >>" % fontfile
+        )
+        desc = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /FontDescriptor %d 0 R >>" % fdesc
+        )
+        font = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>" % desc
+        )
+    else:
+        tounicode = add(
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        desc = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        font = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc, tounicode)
+        )
     content_ids = []
     for spans in pages:
         parts = [b"BT"]
@@ -1353,8 +1381,10 @@ class PdfDocument:
     def page_fonts(self, page_num: int) -> dict:
         """Resource-name -> bytes->str decoder map for a page's
         composite (Type0) fonts. Simple fonts are omitted (latin-1
-        fallback in _page_spans); a Type0 font WITHOUT a /ToUnicode
-        CMap has no recoverable text mapping and quarantines."""
+        fallback in _page_spans). A Type0 font WITHOUT a /ToUnicode
+        CMap falls back to inverting the embedded /FontFile2 TrueType
+        cmap (under Identity-H the CIDs are glyph ids — the
+        pdfminer/MuPDF recovery); with neither, it quarantines."""
         node = self.resolve(self.objects.get(page_num))
         out: dict = {}
         if not isinstance(node, dict):
@@ -1368,10 +1398,28 @@ class PdfDocument:
             if not (isinstance(fd, dict) and fd.get("/Subtype") == "/Type0"):
                 continue
             tu = fd.get("/ToUnicode")
-            if not (isinstance(tu, tuple) and tu and tu[0] == "ref"):
-                raise ValueError("Type0 font without /ToUnicode CMap")
-            out[name] = _cid_decoder(_parse_tounicode(self.stream_bytes(tu[1])))
+            if isinstance(tu, tuple) and tu and tu[0] == "ref":
+                out[name] = _cid_decoder(
+                    _parse_tounicode(self.stream_bytes(tu[1]))
+                )
+                continue
+            out[name] = self._fontfile_decoder(fd)
         return out
+
+    def _fontfile_decoder(self, fd: dict):
+        """No /ToUnicode: invert the embedded TrueType cmap. Only valid
+        under Identity-H/V, where content-stream CIDs ARE glyph ids."""
+        from .truetype import gid_to_unicode
+
+        if fd.get("/Encoding") not in ("/Identity-H", "/Identity-V"):
+            raise ValueError("Type0 font without /ToUnicode CMap")
+        desc = self.resolve(fd.get("/DescendantFonts"))
+        d0 = self.resolve(desc[0]) if isinstance(desc, list) and desc else None
+        fdesc = self.resolve(d0.get("/FontDescriptor")) if isinstance(d0, dict) else None
+        ff = fdesc.get("/FontFile2") if isinstance(fdesc, dict) else None
+        if not (isinstance(ff, tuple) and ff and ff[0] == "ref"):
+            raise ValueError("Type0 font without /ToUnicode CMap")
+        return _cid_decoder(gid_to_unicode(self.stream_bytes(ff[1])))
 
     def pages(self) -> list[int]:
         """Page object numbers in document order (depth-first /Kids)."""

@@ -301,10 +301,12 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
     is REVERSED inside each page (real generators emit in arbitrary
     order — the extractor must rebuild reading order from layout, which
     is exactly what the oracle checks). Layout rotates by asset: plain
-    1.4, Flate 1.4, LZW-filtered 1.4, Type0/Identity-H composite-font, RC4- and AES-encrypted
-    (both round-5), and the modern PDF 1.5 object-stream/xref-stream
-    layout. Pure function of (doc_id, text), shared by the Spark
-    derivation and the golden generator."""
+    1.4, Flate 1.4, LZW-filtered 1.4, Type0/Identity-H composite-font
+    (with /ToUnicode, and round-6: without — recovered via the embedded
+    /FontFile2 cmap), RC4-, AES-128- and AES-256/R6-encrypted, and the
+    modern PDF 1.5 object-stream/xref-stream layout. Pure function of
+    (doc_id, text), shared by the Spark derivation and the golden
+    generator."""
     if doc_id % 3 != 1:
         return None
     from ..functions.pdf import pdf_encode, pdf_encode_15
@@ -320,7 +322,7 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
         ]
         spans.reverse()  # scrambled emission order: layout must fix it
         pages.append(spans)
-    mode = (doc_id // 3) % 7
+    mode = (doc_id // 3) % 9
     if mode == 0:
         payload = pdf_encode(pages, compress=False)
     elif mode == 1:
@@ -341,6 +343,16 @@ def pdf_asset(doc_id: int, text: str) -> dict | None:
 
         # owner-password-only AES-128 (/AESV2 crypt filter)
         payload = pdf_encrypt_aes(pdf_encode(pages, compress=True))
+    elif mode == 6:
+        from ..functions.pdf import pdf_encrypt_aes256
+
+        # PDF 2.0 AES-256 / R6 hardened hash, empty user password
+        payload = pdf_encrypt_aes256(pdf_encode(pages, compress=True))
+    elif mode == 7:
+        from ..functions.pdf import pdf_encode_type0
+
+        # Type0 WITHOUT /ToUnicode: text only via the FontFile2 cmap
+        payload = pdf_encode_type0(pages, embed_cmap_font=True)
     else:
         payload = pdf_encode(pages, compress=True)
     return {"asset_id": f"pdf-{doc_id:08d}", "payload": payload}
