@@ -24,15 +24,18 @@ covers machine-generated text PDFs:
 
 Composite (Type0/Identity-H) fonts decode through their /ToUnicode
 CMap (bfchar + bfrange, `_parse_tounicode`) — the layout every modern
-Unicode-text generator emits. RC4-encrypted files (standard security
-handler V1/V2, R2/R3) open with an EMPTY user password — the
-owner-password-only form crawls contain (`_setup_encryption`).
+Unicode-text generator emits — or, when /ToUnicode is absent, by
+inverting the embedded /FontFile2 TrueType cmap (functions/truetype.py,
+round 6). Encrypted files open with an EMPTY user password — the
+owner-password-only form crawls contain (`_setup_encryption`): RC4
+(V1/V2, R2/R3), AES-128 (/V 4 /AESV2), and AES-256 (/V 5 /AESV3, R5
+and R6 with the Algorithm 2.B hardened hash, ISO 32000-2).
 /DecodeParms predictors (TIFF horizontal + PNG 10-15, the
 predictor-12 Flate every modern xref-stream writer emits) undo through
 the shared PNG unfilter.
 Out of scope (quarantined with ValueError, same contract as the image
-codecs): AES-encrypted PDFs (V4/V5) and files with a real user
-password, Type0 fonts WITHOUT a /ToUnicode CMap (no recoverable text
+codecs): files with a real user password, Type0 fonts with neither a
+/ToUnicode CMap nor an embedded TrueType font (no recoverable text
 mapping), LZW EarlyChange=0, and CCITTFax/JBIG2/JPX image filters
 (DCTDecode = JPEG decodes via pdf_page_images).
 Coordinates are used as given (no CTM stack beyond Tm), which is exact
