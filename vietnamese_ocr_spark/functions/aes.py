@@ -176,14 +176,14 @@ def aes128_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     """PKCS#7-pad + CBC; returns iv + ciphertext (the PDF stream form)."""
     if len(iv) != 16:
         raise ValueError("bad IV length")
-    rk = _expand_key(key)
+    kw = _expand_key_words(bytes(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(block, rk)
+        prev = _encrypt_block_fast(block, kw)
         out += prev
     return bytes(out)
 
@@ -223,12 +223,12 @@ def aes_cbc_encrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
     (Algorithm 2.B's inner encrypt, /UE /OE, ISO 32000-2 §7.6.4.4)."""
     if len(iv) != 16 or len(data) % 16:
         raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
-    rk = _expand_key(key)
+    kw = _expand_key_words(bytes(key))
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(block, rk)
+        prev = _encrypt_block_fast(block, kw)
         out += prev
     return bytes(out)
 
@@ -251,14 +251,14 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     size — the /AESV3 (256-bit) generalization of aes128_cbc_encrypt."""
     if len(iv) != 16:
         raise ValueError("bad IV length")
-    rk = _expand_key(key)
+    kw = _expand_key_words(bytes(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block(block, rk)
+        prev = _encrypt_block_fast(block, kw)
         out += prev
     return bytes(out)
 
@@ -278,3 +278,79 @@ def aes_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES padding (wrong key or corrupt stream)")
     return bytes(out[:-pad])
+
+
+# -- T-table encryption fast path ---------------------------------------------
+#
+# The standard 32-bit-word formulation from the public Rijndael/AES
+# proposal: SubBytes+ShiftRows+MixColumns fold into four 256-entry
+# word tables (Te1..Te3 are byte rotations of Te0). Same FIPS-197
+# semantics — pinned to the same Appendix C vectors — but ~10x fewer
+# Python operations per block, which matters because PDF 2.0's
+# Algorithm 2.B runs ~17k sequential CBC block encrypts per hash.
+
+_ENC_T: dict | None = None
+
+
+def _enc_tables() -> dict:
+    global _ENC_T
+    if _ENC_T is not None:
+        return _ENC_T
+    t = _tables()
+    sbox, mul = t["sbox"], t["mul"]
+    te0 = []
+    for x in range(256):
+        s = sbox[x]
+        te0.append((mul[2][s] << 24) | (s << 16) | (s << 8) | mul[3][s])
+    ror8 = lambda w: ((w >> 8) | (w << 24)) & 0xFFFFFFFF
+    te1 = [ror8(w) for w in te0]
+    te2 = [ror8(w) for w in te1]
+    te3 = [ror8(w) for w in te2]
+    _ENC_T = {"te": (te0, te1, te2, te3), "sbox": sbox}
+    return _ENC_T
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _expand_key_words(key: bytes) -> tuple[int, ...]:
+    rk = _expand_key(key)
+    out = []
+    for rnd in rk:
+        for j in range(0, 16, 4):
+            out.append(
+                (rnd[j] << 24) | (rnd[j + 1] << 16) | (rnd[j + 2] << 8) | rnd[j + 3]
+            )
+    return tuple(out)
+
+
+def _encrypt_block_fast(block: bytes, kw: tuple[int, ...]) -> bytes:
+    et = _enc_tables()
+    te0, te1, te2, te3 = et["te"]
+    sbox = et["sbox"]
+    nr = len(kw) // 4 - 1
+    s0 = int.from_bytes(block[0:4], "big") ^ kw[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ kw[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ kw[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ kw[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 255] ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ kw[k]
+        t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 255] ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ kw[k + 1]
+        t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 255] ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ kw[k + 2]
+        t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 255] ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ kw[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    out = bytearray(16)
+    for j, (a, b, c, d) in enumerate(
+        ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1), (s3, s0, s1, s2))
+    ):
+        w = (
+            (sbox[a >> 24] << 24)
+            | (sbox[(b >> 16) & 255] << 16)
+            | (sbox[(c >> 8) & 255] << 8)
+            | sbox[d & 255]
+        ) ^ kw[k + j]
+        out[4 * j : 4 * j + 4] = w.to_bytes(4, "big")
+    return bytes(out)
