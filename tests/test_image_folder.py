@@ -16,7 +16,8 @@ def _write_pngs(root: str) -> dict[str, str]:
     atlas = build_atlas(vocab)
     truths = {"a1.png": "xin", "b2.png": "quên", "sub/c3.png": "đêm",
               "d4.jpg": "chào", "e5.bmp": "em", "f6.gif": "nhớ",
-              "g7.tif": "mai"}
+              "g7.tif": "mai", "h8.webp": "nhà", "i9.pgm": "sông",
+              "j10.ico": "núi"}
     for rel, truth in truths.items():
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -38,6 +39,18 @@ def _write_pngs(root: str) -> dict[str, str]:
                 from vietnamese_ocr_spark.functions.tiff import tiff_encode
 
                 f.write(tiff_encode(img, compression="lzw"))
+            elif rel.endswith(".webp"):
+                from vietnamese_ocr_spark.functions.webp import webp_encode
+
+                f.write(webp_encode(img, subtract_green=True))
+            elif rel.endswith(".pgm"):
+                from vietnamese_ocr_spark.functions.pnmico import pnm_encode
+
+                f.write(pnm_encode(img))
+            elif rel.endswith(".ico"):
+                from vietnamese_ocr_spark.functions.pnmico import ico_encode
+
+                f.write(ico_encode(img[:256, :256], as_png=True))
             else:
                 f.write(png_encode(img))
     # a decoy that must NOT match the glob

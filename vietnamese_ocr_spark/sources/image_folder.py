@@ -22,14 +22,15 @@ from pyspark.sql import functions as F
 
 
 def read_image_folder(
-    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg,bmp,gif,tif,tiff}"
+    spark: SparkSession, directory: str, glob: str = "*.{png,jpg,jpeg,bmp,gif,tif,tiff,webp,ico,pbm,pgm,ppm,pnm}"
 ) -> DataFrame:
     """Directory of image files -> media(media_ref, png, size_b).
 
     media_ref = the file's base name (matching the reference, which keys
     its predictions by file name — src/utils/inference.py:105-111).
     Recursive so nested date=.../shard=... layouts work unchanged. The
-    default glob admits PNG, JPEG, BMP and GIF — all decode through the
+    default glob admits PNG, JPEG, BMP, GIF, TIFF, WebP, ICO and the
+    Netpbm family — all decode through the
     functions/imaging.decode_image seam (the reference accepts anything
     PIL opens, src/utils/inference.py:125); the `png` column name is the
     media-schema contract, the bytes may be any of those containers.
