@@ -124,3 +124,30 @@ def test_cbc_nopad_roundtrip_all_key_sizes():
         ) == blob
         padded = bytes(rng.randint(0, 256, 37, dtype=np.uint8))
         assert aes_cbc_decrypt(aes_cbc_encrypt(padded, key, iv), key) == padded
+
+
+def test_ttable_fast_paths_equal_pinned_implementation():
+    """Round-6: the 32-bit T-table encrypt/decrypt paths (the hot CBC
+    loops) must match the byte-wise FIPS-197 implementation the
+    Appendix C vectors pin, for random blocks at every key size."""
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.aes import (
+        _decrypt_block,
+        _decrypt_block_fast,
+        _encrypt_block,
+        _encrypt_block_fast,
+        _expand_key,
+        _expand_key_words,
+        _expand_key_words_dec,
+    )
+
+    rng = np.random.RandomState(9)
+    for klen in (16, 24, 32):
+        for _ in range(20):
+            k = bytes(rng.randint(0, 256, klen, dtype=np.uint8))
+            b = bytes(rng.randint(0, 256, 16, dtype=np.uint8))
+            assert _encrypt_block_fast(b, _expand_key_words(k)) == \
+                _encrypt_block(b, _expand_key(k))
+            assert _decrypt_block_fast(b, _expand_key_words_dec(k)) == \
+                _decrypt_block(b, _expand_key(k))

@@ -192,12 +192,12 @@ def aes128_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     """Inverse of aes128_cbc_encrypt: data = iv + ciphertext."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC stream length")
-    rk = _expand_key(key)
+    kwd = _expand_key_words_dec(bytes(key))
     prev = data[:16]
     out = bytearray()
     for i in range(16, len(data), 16):
         block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rk), prev))
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
         prev = block
     pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
@@ -236,12 +236,12 @@ def aes_cbc_encrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
 def aes_cbc_decrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
     if len(iv) != 16 or len(data) % 16:
         raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
-    rk = _expand_key(key)
+    kwd = _expand_key_words_dec(bytes(key))
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rk), prev))
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
         prev = block
     return bytes(out)
 
@@ -267,12 +267,12 @@ def aes_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     """Inverse of aes_cbc_encrypt: data = iv + ciphertext."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC stream length")
-    rk = _expand_key(key)
+    kwd = _expand_key_words_dec(bytes(key))
     prev = data[:16]
     out = bytearray()
     for i in range(16, len(data), 16):
         block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rk), prev))
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
         prev = block
     pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
@@ -352,5 +352,92 @@ def _encrypt_block_fast(block: bytes, kw: tuple[int, ...]) -> bytes:
             | (sbox[(c >> 8) & 255] << 8)
             | sbox[d & 255]
         ) ^ kw[k + j]
+        out[4 * j : 4 * j + 4] = w.to_bytes(4, "big")
+    return bytes(out)
+
+
+# Decrypt-side T-tables: InvSubBytes+InvShiftRows+InvMixColumns folded
+# the same way (equivalent-inverse-cipher form: round keys for rounds
+# 1..nr-1 pass through InvMixColumns so the table round applies).
+
+_DEC_T: dict | None = None
+
+
+def _dec_tables() -> dict:
+    global _DEC_T
+    if _DEC_T is not None:
+        return _DEC_T
+    t = _tables()
+    isb, mul = t["inv_sbox"], t["mul"]
+    td0 = []
+    for x in range(256):
+        s = isb[x]
+        td0.append(
+            (mul[14][s] << 24) | (mul[9][s] << 16) | (mul[13][s] << 8) | mul[11][s]
+        )
+    ror8 = lambda w: ((w >> 8) | (w << 24)) & 0xFFFFFFFF
+    td1 = [ror8(w) for w in td0]
+    td2 = [ror8(w) for w in td1]
+    td3 = [ror8(w) for w in td2]
+    _DEC_T = {"td": (td0, td1, td2, td3), "isb": isb}
+    return _DEC_T
+
+
+def _inv_mix_word(w: int) -> int:
+    mul = _tables()["mul"]
+    out = 0
+    a = [(w >> 24) & 255, (w >> 16) & 255, (w >> 8) & 255, w & 255]
+    out |= (mul[14][a[0]] ^ mul[11][a[1]] ^ mul[13][a[2]] ^ mul[9][a[3]]) << 24
+    out |= (mul[9][a[0]] ^ mul[14][a[1]] ^ mul[11][a[2]] ^ mul[13][a[3]]) << 16
+    out |= (mul[13][a[0]] ^ mul[9][a[1]] ^ mul[14][a[2]] ^ mul[11][a[3]]) << 8
+    out |= mul[11][a[0]] ^ mul[13][a[1]] ^ mul[9][a[2]] ^ mul[14][a[3]]
+    return out
+
+
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=32)
+def _expand_key_words_dec(key: bytes) -> tuple[int, ...]:
+    """Equivalent-inverse-cipher key schedule: encryption round keys in
+    REVERSE round order, inner rounds passed through InvMixColumns."""
+    kw = _expand_key_words(key)
+    nr = len(kw) // 4 - 1
+    out = []
+    for rnd in range(nr, -1, -1):
+        words = kw[4 * rnd : 4 * rnd + 4]
+        if 0 < rnd < nr:
+            words = tuple(_inv_mix_word(w) for w in words)
+        out.extend(words)
+    return tuple(out)
+
+
+def _decrypt_block_fast(block: bytes, kwd: tuple[int, ...]) -> bytes:
+    dt = _dec_tables()
+    td0, td1, td2, td3 = dt["td"]
+    isb = dt["isb"]
+    nr = len(kwd) // 4 - 1
+    s0 = int.from_bytes(block[0:4], "big") ^ kwd[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ kwd[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ kwd[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ kwd[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 255] ^ td2[(s2 >> 8) & 255] ^ td3[s1 & 255] ^ kwd[k]
+        t1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 255] ^ td2[(s3 >> 8) & 255] ^ td3[s2 & 255] ^ kwd[k + 1]
+        t2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 255] ^ td2[(s0 >> 8) & 255] ^ td3[s3 & 255] ^ kwd[k + 2]
+        t3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 255] ^ td2[(s1 >> 8) & 255] ^ td3[s0 & 255] ^ kwd[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    out = bytearray(16)
+    for j, (a, b, c, d) in enumerate(
+        ((s0, s3, s2, s1), (s1, s0, s3, s2), (s2, s1, s0, s3), (s3, s2, s1, s0))
+    ):
+        w = (
+            (isb[a >> 24] << 24)
+            | (isb[(b >> 16) & 255] << 16)
+            | (isb[(c >> 8) & 255] << 8)
+            | isb[d & 255]
+        ) ^ kwd[k + j]
         out[4 * j : 4 * j + 4] = w.to_bytes(4, "big")
     return bytes(out)
