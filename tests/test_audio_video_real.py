@@ -127,3 +127,67 @@ def test_video_frame_sample_real_mjpeg_stage(spark):
     for idx, ph in got.items():
         assert ph == _mjpeg_phash(payload, idx)
         assert len(ph) == 16 and int(ph, 16) >= 0
+
+
+def test_aiff_and_au_roundtrip_and_quarantine():
+    """Round-6: AIFF (BE PCM, 80-bit extended rate) and Sun AU (mu-law
+    + linear) decode beside WAV."""
+    import numpy as np
+    import pytest
+
+    from vietnamese_ocr_spark.functions.audio import (
+        aiff_decode,
+        aiff_encode,
+        au_decode,
+        au_encode,
+    )
+
+    t = np.sin(np.linspace(0, 40 * np.pi, 4000)).astype(np.float32) * 0.7
+    out, sr = aiff_decode(aiff_encode(t, 16000))
+    assert sr == 16000 and np.abs(out - t).max() < 1e-4
+    out, sr = au_decode(au_encode(t, 8000))
+    assert sr == 8000 and np.abs(out - t).max() < 1e-4
+    out8, _ = au_decode(au_encode(t, 8000, encoding=2))
+    assert np.abs(out8 - t).max() < 0.01
+    for bad in (b"", b"FORMxxxxAIFC", b".snd" + b"\x00" * 8,
+                aiff_encode(t, 16000)[:30]):
+        with pytest.raises((ValueError, Exception)):
+            aiff_decode(bad)
+        with pytest.raises((ValueError, Exception)):
+            au_decode(bad)
+
+
+def test_aiff_au_through_spark_audio_stage(spark):
+    """audio/aiff and audio/basic assets run the REAL decoders through
+    the Spark audio_features stage, matching local decode+features."""
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.audio import aiff_encode, au_encode
+    from vietnamese_ocr_spark.operators.multimodal import (
+        ASSETS_DDL,
+        audio_feature_row,
+        audio_features,
+        _aiff_pcm,
+        _au_pcm,
+    )
+
+    def _tone(hz):
+        x = np.linspace(0, 1, 8000, endpoint=False)
+        return (0.5 * np.sin(2 * np.pi * hz * x)).astype(np.float32)
+
+    payloads = {
+        "aiff-0": ("audio/aiff", aiff_encode(_tone(220.0), 16000)),
+        "au-0": ("audio/basic", au_encode(_tone(440.0), 16000)),
+        "au-mu": ("audio/basic", au_encode(_tone(330.0), 16000, encoding=2)),
+    }
+    rows = [
+        (aid, "audio", mime, bytearray(p), None, None, 16000, 500, None)
+        for aid, (mime, p) in payloads.items()
+    ]
+    df = spark.createDataFrame(rows, ASSETS_DDL)
+    got = {r["asset_id"]: r for r in audio_features(df).collect()}
+    for aid, (mime, p) in payloads.items():
+        decode = _aiff_pcm if mime == "audio/aiff" else _au_pcm
+        want = audio_feature_row(p, 16000, 500, 512, decode=decode)
+        assert got[aid]["features_md5"] == want["features_md5"], aid
+        assert got[aid]["n_samples"] == want["n_samples"]

@@ -7,7 +7,9 @@ vectorized stages. This container has no cv2/PIL/ffmpeg, so:
   * IMAGE ops are REAL: 8-bit PNG (gray/RGB/palette/alpha, all five
     scanline filters) and baseline JPEG (4:4:4 and 4:2:0), both pure
     NumPy (functions/imaging.py, functions/jpeg.py);
-  * AUDIO is REAL for `audio/wav` (RIFF PCM 8/16-bit, functions/audio.py)
+  * AUDIO is REAL for `audio/wav` (RIFF PCM 8/16-bit), `audio/aiff`
+    (big-endian PCM) and `audio/basic` (Sun AU: mu-law + linear) —
+    all functions/audio.py
     and VIDEO is REAL for `video/mjpeg` (concatenated-JFIF frames decoded
     by functions/jpeg.py, hashed by the DCT perceptual hash). The digest
     STUBS remain, clearly marked, for container formats that need an
@@ -312,6 +314,23 @@ def _wav_pcm(payload: bytes, n_samples: int) -> np.ndarray:
     return pcm
 
 
+def _aiff_pcm(payload: bytes, n_samples: int) -> np.ndarray:
+    """REAL decode: AIFF big-endian PCM -> mono float32 (round 6)."""
+    from ..functions.audio import aiff_decode
+
+    pcm, _sr = aiff_decode(bytes(payload))
+    return pcm
+
+
+def _au_pcm(payload: bytes, n_samples: int) -> np.ndarray:
+    """REAL decode: Sun AU (mu-law / 8- / 16-bit linear) -> mono
+    float32 (round 6). audio/basic is AU's registered mime."""
+    from ..functions.audio import au_decode
+
+    pcm, _sr = au_decode(bytes(payload))
+    return pcm
+
+
 def mjpeg_frames(payload: bytes) -> list[bytes]:
     """Split a concatenated-JFIF (MJPEG-style) payload into frames. Raw
     FFD9 never occurs inside entropy data (it would be FF00-stuffed), so
@@ -344,4 +363,6 @@ def _mjpeg_phash(payload: bytes, frame_idx: int) -> str:
 
 
 _AUDIO_CODECS["audio/wav"] = _wav_pcm
+_AUDIO_CODECS["audio/aiff"] = _aiff_pcm
+_AUDIO_CODECS["audio/basic"] = _au_pcm
 _VIDEO_CODECS["video/mjpeg"] = _mjpeg_phash
