@@ -191,3 +191,36 @@ def test_aiff_au_through_spark_audio_stage(spark):
         want = audio_feature_row(p, 16000, 500, 512, decode=decode)
         assert got[aid]["features_md5"] == want["features_md5"], aid
         assert got[aid]["n_samples"] == want["n_samples"]
+
+
+def test_avi_mjpeg_through_spark_video_stage(spark):
+    """Round-6: video/x-msvideo (MJPEG AVI) demuxes + decodes for real
+    through video_frame_sample, matching the raw concatenated-JFIF
+    mime's phashes frame for frame."""
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.jpeg import jpeg_encode
+    from vietnamese_ocr_spark.operators.multimodal import (
+        ASSETS_DDL,
+        avi_encode_mjpeg,
+        video_frame_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [
+        jpeg_encode(rng.randint(0, 256, (16, 24), dtype=np.uint8), 85)
+        for _ in range(25)
+    ]
+    rows = [
+        ("avi-0", "video", "video/x-msvideo", bytearray(avi_encode_mjpeg(frames)),
+         None, None, None, None, len(frames)),
+        ("raw-0", "video", "video/mjpeg", bytearray(b"".join(frames)),
+         None, None, None, None, len(frames)),
+    ]
+    df = spark.createDataFrame(rows, ASSETS_DDL)
+    out = video_frame_sample(df, every_nth=10).collect()
+    by_asset = {}
+    for r in out:
+        by_asset.setdefault(r["asset_id"], {})[r["frame_idx"]] = r["phash"]
+    assert by_asset["avi-0"] == by_asset["raw-0"]
+    assert sorted(by_asset["avi-0"]) == [0, 10, 20]

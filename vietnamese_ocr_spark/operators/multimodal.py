@@ -351,6 +351,71 @@ def mjpeg_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Demux an AVI (RIFF 'AVI ') container's 'movi' list into its
+    '##dc' video chunks — for MJPEG AVIs each chunk is one JFIF frame
+    (round 6: a real container demux beside the raw concatenated-JFIF
+    form). Non-video chunks ('##wb' audio, 'idx1') are skipped by
+    declared size per the RIFF spec."""
+    import struct as _struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI file")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(pos + 12, body_end)  # skip the 4-byte list type
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                frame = payload[pos + 8 : body_end]
+                if frame[:2] == b"\xff\xd8":
+                    frames.append(frame)
+            pos = body_end + (size & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("no MJPEG frames in AVI")
+    return frames
+
+
+def avi_encode_mjpeg(jfif_frames: list[bytes]) -> bytes:
+    """Fixture: wrap JFIF frames as a minimal MJPEG AVI (hdrl with an
+    avih stub + movi list + idx1), the structure real writers emit."""
+    import struct as _struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + _struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    avih = chunk(b"avih", _struct.pack("<14I", 33333, 0, 0, 0,
+                                       len(jfif_frames), 0, 1, 0, 0, 0,
+                                       0, 0, 0, 0))
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in jfif_frames)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", b"")
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _avi_mjpeg_phash(payload: bytes, frame_idx: int) -> str:
+    """REAL decode: frame `frame_idx` of an MJPEG AVI -> perceptual
+    hash, through the container demux + the pure-NumPy JPEG decoder."""
+    from ..functions.imaging import decode_image, perceptual_hash
+
+    frames = avi_mjpeg_frames(bytes(payload))
+    if frame_idx >= len(frames):
+        raise ValueError(f"frame {frame_idx} past end ({len(frames)} frames)")
+    return perceptual_hash(decode_image(frames[frame_idx]))
+
+
 def _mjpeg_phash(payload: bytes, frame_idx: int) -> str:
     """REAL decode: frame `frame_idx` of a concatenated-JFIF payload ->
     64-bit DCT perceptual hash (functions/imaging.perceptual_hash)."""
@@ -366,3 +431,4 @@ _AUDIO_CODECS["audio/wav"] = _wav_pcm
 _AUDIO_CODECS["audio/aiff"] = _aiff_pcm
 _AUDIO_CODECS["audio/basic"] = _au_pcm
 _VIDEO_CODECS["video/mjpeg"] = _mjpeg_phash
+_VIDEO_CODECS["video/x-msvideo"] = _avi_mjpeg_phash
