@@ -148,6 +148,7 @@ _GOLDEN_COLS = {
     ),
     "pdf_extract_lines": "asset_id, decode_ok, page, line_no, y, text",
     "pdf_scanned_ocr": "asset_id, page, name, rec_text, n_tokens",
+    "bpe_segment": "doc_id, n_tokens, tokens_md5",
 }
 
 

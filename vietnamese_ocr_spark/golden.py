@@ -62,6 +62,7 @@ GOLDEN_NAMES = (
     "image_decode_stats",
     "pdf_extract_lines",
     "pdf_scanned_ocr",
+    "bpe_segment",
 )
 
 
@@ -319,5 +320,59 @@ def ensure_sf_golden(sf_dir: str) -> dict[str, str]:
             ),
         ),
         paths["multimodal_frame_sample"],
+    )
+
+    # -- BPE segmentation (round-6: the §2.11 driver row). Single-process
+    # mirror of q_bpe_segment: same (word,freq) collapse semantics as
+    # operators/bpe.word_frequencies (split on " ", drop empties), the
+    # same top-20k (freq desc, word asc) cap, and the SAME shared merge
+    # function (_train_from_word_freqs) — golden checks the distributed
+    # pipeline against a one-thread rerun of identical semantics.
+    import hashlib as _hl
+
+    from .operators.bpe import _train_from_word_freqs, bpe_segment_word
+
+    freqs: dict[str, int] = {}
+    texts_by_doc: list[tuple[str, str]] = []
+    for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        texts_by_doc.append((str(int(doc_id)), text))
+        for w in text.split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    capped = dict(
+        sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:20000]
+    )
+    merges, _words = _train_from_word_freqs(capped, 200, 2)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    cache: dict[str, list[str]] = {}
+    bpe_rows = []
+    for doc_id, text in texts_by_doc:
+        toks: list[str] = []
+        for w in text.split(" "):
+            if not w:
+                continue
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = bpe_segment_word(w, ranks)
+            toks.extend(got)
+        bpe_rows.append(
+            {
+                "doc_id": doc_id,
+                "n_tokens": len(toks),
+                "tokens_md5": _hl.md5(" ".join(toks).encode("utf-8")).hexdigest(),
+            }
+        )
+    pq.write_table(
+        pa.Table.from_pylist(
+            bpe_rows,
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("n_tokens", pa.int32()),
+                    ("tokens_md5", pa.string()),
+                ]
+            ),
+        ),
+        paths["bpe_segment"],
     )
     return paths
