@@ -81,6 +81,10 @@ ISOLATED = [
     "similarity_ivf_kmeans",
     "image_decode_stats",
     "pdf_extract_lines",
+    # round-6 (verdict item 5): the two rows whose r5 in-suite numbers
+    # needed a judge rerun to adjudicate
+    "multimodal_image_stats",
+    "pdf_scanned_ocr",
 ]
 
 

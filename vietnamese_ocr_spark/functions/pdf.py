@@ -1296,8 +1296,12 @@ class PdfDocument:
         raise ValueError("no trailer (classic or xref-stream) found")
 
     def resolve(self, v):
+        hops = 0
         while isinstance(v, tuple) and v and v[0] == "ref":
             v = self.objects.get(v[1])
+            hops += 1
+            if hops > 1000:  # ref->ref cycles must quarantine, not hang
+                raise ValueError("indirect reference cycle")
         return v
 
     def stream_raw(self, num: int) -> bytes:
@@ -1430,8 +1434,13 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise ValueError("missing /Root catalog")
         out: list[int] = []
+        visited: set[int] = set()  # /Kids cycles must quarantine
 
         def walk(ref) -> None:
+            if isinstance(ref, tuple) and len(ref) > 1:
+                if ref[1] in visited:
+                    raise ValueError("page tree cycle")
+                visited.add(ref[1])
             node = self.resolve(ref)
             if not isinstance(node, dict):
                 return
