@@ -227,3 +227,58 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logp"),
     )
+
+
+def passage_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
+    """Repeated-passage removal, exact form (the C4/RefinedWeb
+    pretraining-pipeline step: drop every later occurrence of a passage
+    seen anywhere in the corpus; first occurrence by (doc_id, position)
+    wins). Passages are consecutive `chunk_words`-word windows — the
+    fixed-width stand-in for paragraph splits on a corpus without
+    newlines.
+
+    Scale shape: one shuffle keyed on the passage TEXT (at 100 TB you
+    would key on md5(chunk) instead to keep shuffle rows small — here
+    the text itself is the value the oracle compares), one window
+    row_number per passage group, then a per-doc reduce. The output is
+    scalar-only: (doc_id, n_chunks, n_kept, retained_md5) where
+    retained_md5 hashes the kept passages in document order."""
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    chunks = (
+        words.withColumn(
+            "chunk_id", (F.col("pos") / F.lit(chunk_words)).cast("int")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list("
+                "struct(pos, word))), x -> x.word))"
+            ).alias("chunk_text")
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "kept", F.when(F.col("rn") == 1, F.col("chunk_text"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.md5(
+                F.expr(
+                    "concat_ws(' ', transform(filter(array_sort("
+                    "collect_list(struct(chunk_id, kept))), "
+                    "x -> x.kept is not null), x -> x.kept))"
+                )
+            ).alias("retained_md5"),
+        )
+    )

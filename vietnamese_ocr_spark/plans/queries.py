@@ -710,6 +710,15 @@ def q_bpe_segment(spark, sf):
     )
 
 
+def q_dedup_passages(spark, sf):
+    """Corpus-global repeated-passage removal (C4/RefinedWeb step):
+    exact first-occurrence-wins over 10-word passages; scalar per-doc
+    summary so DuckDB can value-hash the retained text exactly."""
+    from ..operators.textstats import passage_dedup
+
+    return passage_dedup(t(spark, sf, "documents"))
+
+
 def q_main_content(spark, sf):
     """Densitometric main-content extraction (functions/text.py) over the
     documents table. The sf corpus text is markup-free, so the oracle
@@ -1509,6 +1518,26 @@ ORACLE_SQL: dict[str, str] = {
                    as n_tokens
         from documents group by source
     """,
+    "dedup_passages": """
+        with w as (select doc_id, string_split(text, ' ') as ws
+                   from documents),
+        chunks as (
+          select doc_id, i as chunk_id,
+                 array_to_string(ws[(i*10+1):((i+1)*10)], ' ') as chunk_text
+          from w, unnest(range(0, cast(ceil(len(ws) / 10.0) as bigint)))
+               as t(i)
+        ),
+        ranked as (
+          select *, row_number() over (
+            partition by chunk_text order by doc_id, chunk_id) as rn
+          from chunks)
+        select doc_id, count(*)::int as n_chunks,
+               sum(case when rn = 1 then 1 else 0 end)::int as n_kept,
+               md5(coalesce(string_agg(case when rn = 1 then chunk_text end,
+                                       ' ' order by chunk_id), ''))
+                   as retained_md5
+        from ranked group by doc_id
+    """,
     "doc_fingerprint": """
         with sh as (
           select doc_id,
@@ -1953,6 +1982,8 @@ QUERIES = {
 # subsumed by dedup_minhash_pipeline; similarity_kmeans_codebook is the
 # training stage inside similarity_ivf_kmeans).
 EXTRA_QUERIES = {
+    # round-6 addition: exact passage-level dedup (C4-style)
+    "dedup_passages": q_dedup_passages,
     # rotated OUT round-6 to admit bpe_segment
     "doc_fingerprint": q_doc_fingerprint,
     "route_kind_counts": q_route_kind_counts,
