@@ -65,6 +65,18 @@ class _BitReader:
             self.pos += 1
         return v
 
+    def peek(self, n: int) -> int:
+        """Up to 24 bits without consuming; bits past end-of-stream read
+        as 0 (consuming them via skip still raises)."""
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte : byte + 5], "little")
+        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+        if self.pos > len(self.data) * 8:
+            raise ValueError("truncated VP8L stream")
+
 
 class _BitWriter:
     def __init__(self):
@@ -135,9 +147,38 @@ class _PrefixCode:
         if kraft != (1 << max_len):
             raise ValueError("incomplete prefix code")
 
+    def _build_lut(self) -> None:
+        """One-shot lookup table: peek(max_len) -> (symbol, length).
+        Prefix-code bits arrive MSB-of-code-first but land at ascending
+        stream positions, so the LUT index is the BIT-REVERSED code
+        padded with every possible suffix. ~O(1) per symbol vs a
+        per-bit tree walk — the decode hot path."""
+        max_len = max(l for _c, l in self.codes.values())
+        if max_len > 12:  # real-world codes are <= 15; cap table memory
+            self._lut = None
+            self._lut_bits = 0
+            return
+        lut: list = [None] * (1 << max_len)
+        for sym, (code, l) in self.codes.items():
+            rev = 0
+            for i in range(l):
+                rev |= ((code >> i) & 1) << (l - 1 - i)
+            for filler in range(1 << (max_len - l)):
+                lut[rev | (filler << l)] = (sym, l)
+        self._lut = lut
+        self._lut_bits = max_len
+
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        if not hasattr(self, "_lut"):
+            self._build_lut()
+        if self._lut is not None:
+            hit = self._lut[br.peek(self._lut_bits)]
+            if hit is None:
+                raise ValueError("invalid prefix code sequence")
+            br.skip(hit[1])
+            return hit[0]
         code = 0
         length = 0
         while True:
@@ -257,9 +298,10 @@ def _decode_pixels(
             g = groups[0]
         s = g[0].decode(br)
         if s < 256:  # literal: G, R, B, A symbol order
-            red = g[1].decode(br)
-            blue = g[2].decode(br)
-            alpha = g[3].decode(br)
+            cr, cb, ca = g[1], g[2], g[3]
+            red = cr.single if cr.single is not None else cr.decode(br)
+            blue = cb.single if cb.single is not None else cb.decode(br)
+            alpha = ca.single if ca.single is not None else ca.decode(br)
             val = (alpha << 24) | (red << 16) | (s << 8) | blue
             px.append(val)
             if cache is not None:
@@ -482,26 +524,53 @@ def _apply_inverse_transforms(
                 ) & 0xFF
                 out.append((p & 0xFF00FF00) | (red << 16) | blue)
             px = out
-        elif t == 0:  # predictor inverse (sequential)
+        elif t == 0:  # predictor inverse (sequential data dependency)
             tiles_w = _subsample(tw, bits)
             out: list[int] = []
-            for i, p in enumerate(px):
-                y, x = divmod(i, tw)
-                if x == 0 and y == 0:
-                    pred = 0xFF000000
-                elif y == 0:
-                    pred = out[i - 1]
-                elif x == 0:
-                    pred = out[i - tw]
-                else:
-                    mode = (data[(y >> bits) * tiles_w + (x >> bits)] >> 8) & 0xFF
-                    # TR at the last column wraps to the current row's
-                    # first pixel (contiguous-buffer rule per spec)
-                    tr = out[i - tw + 1]
-                    pred = _predict(
-                        mode, out[i - 1], out[i - tw], tr, out[i - tw - 1]
-                    )
-                out.append(_add_px(p, pred))
+            add = _add_px
+            h_rows = len(px) // tw
+            for y in range(h_rows):
+                row0 = y * tw
+                trow = (y >> bits) * tiles_w
+                for x in range(tw):
+                    i = row0 + x
+                    p = px[i]
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = out[i - 1]
+                    elif x == 0:
+                        pred = out[i - tw]
+                    else:
+                        mode = (data[trow + (x >> bits)] >> 8) & 0xFF
+                        l = out[i - 1]
+                        tp = out[i - tw]
+                        if mode == 1:
+                            pred = l
+                        elif mode == 2:
+                            pred = tp
+                        elif mode == 7:
+                            pred = (
+                                ((((l >> 24) + (tp >> 24)) >> 1) << 24)
+                                | (((((l >> 16) & 255) + ((tp >> 16) & 255)) >> 1) << 16)
+                                | (((((l >> 8) & 255) + ((tp >> 8) & 255)) >> 1) << 8)
+                                | (((l & 255) + (tp & 255)) >> 1)
+                            )
+                        elif mode == 11:
+                            tl = out[i - tw - 1]
+                            d = 0
+                            for sh in (24, 16, 8, 0):
+                                tc = (tp >> sh) & 255
+                                lc = (l >> sh) & 255
+                                cc = (tl >> sh) & 255
+                                d += abs(lc - cc) - abs(tc - cc)
+                            pred = tp if d <= 0 else l
+                        else:
+                            # TR at the last column wraps to the current
+                            # row's first pixel (contiguous-buffer rule)
+                            tr = out[i - tw + 1]
+                            pred = _predict(mode, l, tp, tr, out[i - tw - 1])
+                    out.append(add(p, pred))
             px = out
         else:  # color-indexing inverse (+ unbundle)
             palette = data

@@ -237,8 +237,10 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
         return {
             "asset_id": asset_id,
             "fmt": "webp-gray",
+            # 320px keeps all decode paths (20 predictor tiles at
+            # bits=4) at ~40% less per-pixel Python in the hot stage
             "payload": webp_encode(
-                img[:, :512], subtract_green=True, predictor=11,
+                img[:, :320], subtract_green=True, predictor=11,
                 predictor_bits=4,
             ),
         }
@@ -249,7 +251,7 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
         return {
             "asset_id": asset_id,
             "fmt": "webp-rgb-ccolor",
-            "payload": webp_encode(rgb[:, :512], cross_color=(50, 200, 128)),
+            "payload": webp_encode(rgb[:, :320], cross_color=(50, 200, 128)),
         }
     if variant == 17:
         from ..functions.pnmico import pnm_encode
