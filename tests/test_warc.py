@@ -1,0 +1,90 @@
+"""WARC source (round-6): the container web crawls ship in. Parse both
+the plain and per-record-gzip layouts, strip HTTP headers, route
+response bodies into the tree-aware main-content stage, quarantine torn
+archives."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from vietnamese_ocr_spark.sources.warc import (
+    parse_warc,
+    warc_encode,
+    warc_response_rows,
+)
+
+RECS = [
+    {"uri": "http://a.example/x",
+     "body": "<html><nav>site menu links</nav>"
+             "<div><p>the real article text with enough words to score"
+             " as the main block of the page</p></div></html>"},
+    {"uri": "http://a.example/y", "body": "plain text doc",
+     "content_type": "text/plain"},
+    {"uri": "http://a.example/img", "body": "PNGDATA",
+     "content_type": "image/png"},
+    {"uri": "http://a.example/req", "body": "GET / HTTP/1.1",
+     "type": "request"},
+]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_parse_both_layouts(gz):
+    data = warc_encode(RECS, per_record_gzip=gz)
+    recs = parse_warc(data)
+    assert len(recs) == 4
+    rows = warc_response_rows("f.warc", data)
+    assert [r["target_uri"] for r in rows] == [
+        "http://a.example/x", "http://a.example/y", "http://a.example/img"
+    ]
+    assert all(r["decode_ok"] and r["http_status"] == 200 for r in rows)
+    assert "real article" in rows[0]["body"]
+
+
+def test_gzipped_http_content_encoding():
+    body = "<p>gz body content</p>"
+    raw = warc_encode([{"uri": "u", "body": body}])
+    # inject a Content-Encoding: gzip response by hand
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(body.encode()))
+    head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"WARC-Target-URI: http://z\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(http))
+    rows = warc_response_rows("g.warc", head + http + b"\r\n\r\n")
+    assert rows[0]["decode_ok"] and rows[0]["body"] == body
+
+
+def test_torn_archive_quarantines_one_row():
+    rows = warc_response_rows(
+        "t.warc", b"WARC/1.0\r\nContent-Length: 999\r\n\r\nxx"
+    )
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
+    rows = warc_response_rows("t2.warc", b"NOTAWARC")
+    assert rows[0]["decode_ok"] is False
+
+
+def test_warc_folder_to_documents_through_spark(spark, tmp_path):
+    from vietnamese_ocr_spark.sources.warc import (
+        read_warc_folder,
+        warc_documents,
+    )
+
+    (tmp_path / "a.warc").write_bytes(warc_encode(RECS))
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.warc.gz").write_bytes(
+        warc_encode(RECS[:1], per_record_gzip=True)
+    )
+    (tmp_path / "notes.txt").write_text("decoy")
+    responses = read_warc_folder(spark, str(tmp_path))
+    rows = responses.collect()
+    assert sorted(r["warc_file"] for r in rows) == [
+        "a.warc", "a.warc", "a.warc", "b.warc.gz"
+    ]
+    docs = {r["doc_id"]: r["main_text"] for r in
+            warc_documents(responses).collect()}
+    # image/png filtered out; html doc keeps article, loses nav chrome
+    assert set(docs) == {"http://a.example/x", "http://a.example/y"}
+    assert "real article" in docs["http://a.example/x"]
+    assert "site menu" not in docs["http://a.example/x"]

@@ -112,7 +112,13 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus curation over a (doc_id, text, ...) table: quality + "
         "repetition gates, near-dup canonical dedup, deterministic sample",
     )
-    cu.add_argument("--documents", required=True, help="documents parquet with a text column")
+    cu.add_argument("--documents", help="documents parquet with a text column")
+    cu.add_argument(
+        "--warcs",
+        help="directory of .warc/.warc.gz crawl archives; response "
+        "records pass tree-aware main-content extraction, then the "
+        "same curation stages (round-6)",
+    )
     cu.add_argument("--out", required=True, help="curated parquet output dir")
     cu.add_argument("--master", default=None)
     cu.add_argument("--jaccard-threshold", type=float, default=0.5)
@@ -346,9 +352,18 @@ def main(argv: list[str] | None = None) -> int:
         from .config import get_spark
         from .plans.curate import curate_df
 
+        if bool(args.documents) == bool(args.warcs):
+            p.error("curate needs exactly one of --documents or --warcs")
         spark = get_spark("curate-cli", master=args.master)
         try:
-            docs = spark.read.parquet(args.documents)
+            if args.warcs:
+                from .sources.warc import read_warc_folder, warc_documents
+
+                docs = warc_documents(
+                    read_warc_folder(spark, args.warcs)
+                ).selectExpr("doc_id", "main_text as text")
+            else:
+                docs = spark.read.parquet(args.documents)
             curated, stats = curate_df(
                 docs,
                 jaccard_threshold=args.jaccard_threshold,
