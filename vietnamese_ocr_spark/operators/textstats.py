@@ -237,29 +237,26 @@ def passage_dedup(docs: DataFrame, chunk_words: int = 10) -> DataFrame:
     fixed-width stand-in for paragraph splits on a corpus without
     newlines.
 
-    Scale shape: one shuffle keyed on the passage TEXT (at 100 TB you
-    would key on md5(chunk) instead to keep shuffle rows small — here
-    the text itself is the value the oracle compares), one window
-    row_number per passage group, then a per-doc reduce. The output is
+    Scale shape: chunks are built INSIDE one Column expression
+    (split -> sequence -> slice -> concat_ws, then a posexplode) — no
+    word-level shuffle at all; the only exchanges are the window keyed
+    on the passage TEXT (at 100 TB you would key on md5(chunk) instead
+    to keep shuffle rows small — here the text itself is the value the
+    oracle compares) and the final per-doc reduce. The output is
     scalar-only: (doc_id, n_chunks, n_kept, retained_md5) where
     retained_md5 hashes the kept passages in document order."""
     from pyspark.sql import Window
 
-    words = docs.select(
+    k = int(chunk_words)
+    chunks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.posexplode(F.split("text", " ")).alias("pos", "word"),
-    )
-    chunks = (
-        words.withColumn(
-            "chunk_id", (F.col("pos") / F.lit(chunk_words)).cast("int")
-        )
-        .groupBy("doc_id", "chunk_id")
-        .agg(
+        F.posexplode(
             F.expr(
-                "concat_ws(' ', transform(array_sort(collect_list("
-                "struct(pos, word))), x -> x.word))"
-            ).alias("chunk_text")
-        )
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {k}.0) as int) - 1), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i*{k}+1, {k})))"
+            )
+        ).alias("chunk_id", "chunk_text"),
     )
     w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
     ranked = chunks.withColumn("rn", F.row_number().over(w))
