@@ -88,3 +88,35 @@ def test_warc_folder_to_documents_through_spark(spark, tmp_path):
     assert set(docs) == {"http://a.example/x", "http://a.example/y"}
     assert "real article" in docs["http://a.example/x"]
     assert "site menu" not in docs["http://a.example/x"]
+
+
+def test_url_normalize_and_host_stats(spark):
+    from pyspark.sql import functions as F
+
+    from vietnamese_ocr_spark.sources.warc import url_normalize, warc_host_stats
+
+    cases = [
+        ("HTTP://Example.COM:80/Path?Q=1#frag", "http://example.com/Path?Q=1"),
+        ("https://A.example:443/", "https://a.example"),
+        ("https://a.example/x/", "https://a.example/x/"),  # non-bare kept
+        ("http://b.example/", "http://b.example"),
+        ("http://b.example:8080/x", "http://b.example:8080/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(url_normalize(F.col("u"))).collect()]
+    assert got == [w for _, w in cases]
+
+    rows = [
+        ("f", "1", "http://Example.com:80/a#x", 200, "text/html", True, "body one"),
+        ("f", "2", "http://example.com/a", 200, "text/html", True, "body one"),
+        ("f", "3", "http://example.com/b", 404, "text/html", True, ""),
+        ("f", "4", "http://other.test/c", 200, "text/plain", True, "zz"),
+    ]
+    from vietnamese_ocr_spark.sources.warc import WARC_DDL
+
+    stats = {r["host"]: r for r in
+             warc_host_stats(spark.createDataFrame(rows, WARC_DDL)).collect()}
+    ex = stats["example.com"]
+    assert ex["n_fetches"] == 3 and ex["n_urls"] == 2
+    assert abs(ex["ok_rate"] - 2 / 3) < 1e-9
+    assert stats["other.test"]["n_fetches"] == 1

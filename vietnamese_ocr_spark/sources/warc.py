@@ -236,3 +236,42 @@ def warc_encode(
         else:
             out.write(rec)
     return out.getvalue()
+
+
+def url_normalize(col):
+    """Canonical URL form, entirely JVM-side Column algebra: lowercase
+    scheme+host, strip default ports, drop fragments, trim trailing
+    slash on bare paths. The standard crawl-dedup key (two fetches of
+    the same resource under cosmetically different URLs must collide)."""
+    from pyspark.sql import functions as F
+
+    u = F.trim(col)
+    u = F.regexp_replace(u, r"#.*$", "")            # fragment
+    # lowercase scheme://host (leave path/query case alone)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/]*)", 1)),
+        F.regexp_replace(u, r"^[a-zA-Z]+://[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(https?://[^/:]+):(80|443)(/|$)", r"$1$3")
+    u = F.regexp_replace(u, r"^(https?://[^/?]+)/$", r"$1")
+    return u
+
+
+def warc_host_stats(responses: DataFrame) -> DataFrame:
+    """Crawl profiling: per-host fetch counts, success rate, mean body
+    size — the triage table a 100-TB crawl run is steered by. One
+    map-side-combined aggregation keyed on the parsed host."""
+    from pyspark.sql import functions as F
+
+    return (
+        responses.withColumn("norm_url", url_normalize(F.col("target_uri")))
+        .withColumn("host", F.parse_url("norm_url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.countDistinct("norm_url").alias("n_urls"),
+            F.avg(F.when(F.col("http_status") == 200, 1.0).otherwise(0.0))
+            .alias("ok_rate"),
+            F.avg(F.length("body")).alias("mean_body_chars"),
+        )
+    )
