@@ -128,3 +128,43 @@ def test_decode_image_tiff_gray_and_rgb():
         decode_image(tiff_encode(c, predictor=True, compression="lzw")),
         grayscale(c),
     )
+
+
+def test_packbits_roundtrip_and_strips():
+    """Round-6: PackBits (compression 32773, TIFF 6.0 section 9) — the
+    other compression scanned TIFFs commonly carry."""
+    import numpy as np
+    import pytest
+
+    from vietnamese_ocr_spark.functions.tiff import (
+        _packbits_decode,
+        _packbits_encode,
+        tiff_decode,
+        tiff_encode,
+    )
+
+    rng = np.random.RandomState(8)
+    for blob in (b"", b"a", b"ab" * 300, b"\x00" * 1000,
+                 bytes(rng.randint(0, 3, 5000, dtype=np.uint8)),
+                 bytes(rng.randint(0, 256, 2000, dtype=np.uint8))):
+        assert _packbits_decode(_packbits_encode(blob), len(blob)) == blob
+    gray = rng.randint(0, 4, (40, 33), dtype=np.uint8) * 80  # runs
+    rgb = rng.randint(0, 256, (17, 11, 3), dtype=np.uint8)
+    for arr in (gray, rgb):
+        enc = tiff_encode(arr, compression="packbits", rows_per_strip=7)
+        assert np.array_equal(tiff_decode(enc), arr)
+    with pytest.raises(ValueError):
+        _packbits_decode(b"\x05ab", 6)  # truncated literal
+
+
+def test_packbits_through_decode_image():
+    import numpy as np
+
+    from vietnamese_ocr_spark.functions.imaging import decode_image
+    from vietnamese_ocr_spark.functions.tiff import tiff_encode
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (12, 21), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(tiff_encode(img, compression="packbits")), img
+    )

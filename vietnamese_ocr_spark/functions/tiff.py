@@ -122,6 +122,55 @@ def _lzw_decode(data: bytes, n_out: int | None = None) -> bytes:
     return bytes(out[:n_out])
 
 
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9, compression 32773): literal runs
+    (n-1, bytes) and replicate runs (257-n, byte), n in 2..128."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(raw[i])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and raw[i] == raw[i + 1] == raw[i + 2])
+        ):
+            i += 1
+        out.append(i - lit - 1)
+        out += raw[lit:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, n_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < n_out:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # replicate next byte 257-c times
+            if i >= len(data):
+                raise ValueError("truncated PackBits replicate")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128 is a no-op per spec
+    return bytes(out[:n_out])
+
+
 def tiff_encode(
     arr: np.ndarray,
     compression: str = "none",
@@ -149,9 +198,14 @@ def tiff_encode(
     strips = []
     for y0 in range(0, h, rps):
         raw = flat[y0 : y0 + rps].tobytes()
-        strips.append(_lzw_encode(raw) if compression == "lzw" else raw)
+        if compression == "lzw":
+            strips.append(_lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
 
-    comp_val = 5 if compression == "lzw" else 1
+    comp_val = {"lzw": 5, "packbits": 32773}.get(compression, 1)
     # layout: header(8) + strip data + IFD; offsets computed up front
     data_start = 8
     offsets = []
@@ -254,7 +308,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
     predictor = tags.get(317, [1])[0]
     if any(b != 8 for b in bits):
         raise ValueError(f"unsupported TIFF bits per sample {bits}")
-    if comp not in (1, 5):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if planar != 1:
         raise ValueError("unsupported TIFF planar configuration")
@@ -273,7 +327,12 @@ def tiff_decode(data: bytes) -> np.ndarray:
         n_rows = min(rps, rows_left)
         rows_left -= n_rows
         want = n_rows * row_bytes
-        chunks.append(_lzw_decode(raw, want) if comp == 5 else raw[:want])
+        if comp == 5:
+            chunks.append(_lzw_decode(raw, want))
+        elif comp == 32773:
+            chunks.append(_packbits_decode(raw, want))
+        else:
+            chunks.append(raw[:want])
         if len(chunks[-1]) < want:
             raise ValueError("short TIFF strip")
     body = b"".join(chunks)
