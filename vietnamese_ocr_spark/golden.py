@@ -45,7 +45,7 @@ from .sources.sf_adapter import (
     scanned_pdf_asset,
 )
 
-GOLDEN_VERSION = "r6-2"
+GOLDEN_VERSION = "r6-3"
 BATCH = 32  # reference inference batch, src/utils/inference.py:44
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -154,7 +154,7 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
     atlas, vocab_set = _atlas()
     truth = "".join(c for c in text if c in vocab_set)[:12] or "mixed"
     img = render_line(truth, _HEIGHTS[doc_id % 4], atlas)
-    variant = (doc_id // 2) % 19
+    variant = (doc_id // 2) % 20
     asset_id = f"mix-{doc_id:08d}"
     if variant in (0, 1):
         return {"asset_id": asset_id, "fmt": "png-gray", "payload": png_encode(img)}
@@ -268,6 +268,15 @@ def mixed_asset(doc_id: int, text: str) -> dict | None:
             "asset_id": asset_id,
             "fmt": "ico-png",
             "payload": ico_encode(img[:256, :256], as_png=True),
+        }
+    if variant == 19:
+        from ..functions.tiff import tiff_encode
+
+        return {
+            "asset_id": asset_id,
+            "fmt": "tiff-gray-packbits",
+            "payload": tiff_encode(img, compression="packbits",
+                                   rows_per_strip=16),
         }
     # variant 9: truncated PNG — exercises quarantine, not an error path
     return {
