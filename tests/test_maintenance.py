@@ -370,3 +370,46 @@ def test_occ_loser_leaves_no_lineage(spark, corpus, tmp_path, monkeypatch):
     for row in lin.select("snapshot_id", "run_id").distinct().collect():
         assert by_id[row["snapshot_id"]]["run_id"] == row["run_id"]
     assert r2["total_docs"] == 21  # 20 victims + the intruder doc
+
+
+def test_rollback_reproduces_past_state_and_resume_refills(spark, tmp_path):
+    """Round-6: Iceberg-style rollback_to_snapshot — a new replace
+    snapshot reproduces the old state non-destructively; the resume
+    anti-join sees the rolled-back doc set; expiry after rollback keeps
+    exactly the rolled-back files."""
+    import pytest
+
+    from vietnamese_ocr_spark.sources.tableio import ExtractTable
+
+    root = str(tmp_path / "tbl")
+    table = ExtractTable(root)
+    df1 = spark.createDataFrame(
+        [("d1", 1)], "doc_id string, v int"
+    )
+    files1 = table.append_extracted(df1)
+    s1 = table.commit("r1", {"data_files": files1})
+    df2 = spark.createDataFrame([("d2", 2)], "doc_id string, v int")
+    files2 = table.append_extracted(df2)
+    s2 = table.commit("r2", {"data_files": files2})
+    assert (s1, s2) == (1, 2)
+
+    out = table.rollback(s1)
+    assert out["rolled_back_to"] == s1 and out["snapshot_id"] == 3
+    # head state == snapshot-1 state; snapshot 2 still time-travels
+    head_docs = {r["doc_id"] for r in table.read_snapshot(spark).collect()}
+    assert head_docs == {"d1"}
+    s2_docs = {r["doc_id"]
+               for r in table.read_snapshot(spark, snapshot_id=s2).collect()}
+    assert s2_docs == {"d1", "d2"}
+    committed = table.committed_doc_ids(spark)
+    assert {r["doc_id"] for r in committed.collect()} == {"d1"}
+
+    # rollback to head is a no-op; unknown snapshot raises
+    assert table.rollback(3).get("noop") is True
+    with pytest.raises(ValueError, match="not in table history"):
+        table.rollback(99)
+
+    # expiry keeps the rolled-back state and reclaims d2's file
+    res = table.expire_snapshots(keep_last=1)
+    assert res["expired"] == 2 and res["deleted_files"] == len(files2)
+    assert {r["doc_id"] for r in table.read_snapshot(spark).collect()} == {"d1"}

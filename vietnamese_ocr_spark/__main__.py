@@ -171,6 +171,15 @@ def main(argv: list[str] | None = None) -> int:
         "mtime is older than SECONDS (age-gated: young orphans may be a "
         "concurrent writer's in-flight output or a pending OCC retry)",
     )
+    mt.add_argument(
+        "--rollback-to",
+        type=int,
+        default=None,
+        metavar="SNAPSHOT",
+        help="FIRST, roll the table back to SNAPSHOT (a new replace "
+        "snapshot reproducing that state; non-destructive — later "
+        "history stays time-travelable until expiry)",
+    )
     mt.add_argument("--master", default=None)
 
     args = p.parse_args(argv)
@@ -260,7 +269,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("maintain-cli", master=args.master)
         try:
             table = ExtractTable(args.out)
-            result = {"compact": table.compact(spark, target_file_mb=args.target_mb)}
+            result = {}
+            if args.rollback_to is not None:
+                try:
+                    result["rollback"] = table.rollback(args.rollback_to)
+                except ValueError as ex:
+                    print(json.dumps({"error": str(ex)}))
+                    return 1
+            result["compact"] = table.compact(spark, target_file_mb=args.target_mb)
             if args.expire_keep is not None:
                 result["expire"] = table.expire_snapshots(keep_last=args.expire_keep)
             if args.orphans_older_than is not None:

@@ -296,6 +296,45 @@ class ExtractTable:
             "files_after": len(new_files),
         }
 
+    def rollback(self, snapshot_id: int) -> dict:
+        """Iceberg's rollback_to_snapshot: append a NEW "replace"
+        snapshot whose complete file list reproduces the table state as
+        of `snapshot_id`. Non-destructive — every later snapshot stays
+        readable for time travel until expire_snapshots reclaims it —
+        and the resume anti-join immediately sees the rolled-back doc
+        set, so re-running extract refills exactly the undone work.
+        Runs under the manifest lock (a real CAS against concurrent
+        commits, like every other manifest rewrite)."""
+        with self._manifest_lock():
+            m = self.manifest()
+            ids = [s["snapshot_id"] for s in m["snapshots"]]
+            if snapshot_id not in ids:
+                raise ValueError(
+                    f"snapshot {snapshot_id} not in table history {ids}"
+                )
+            state = sorted(
+                os.path.relpath(p, self.extracted_dir)
+                for p in self._files_as_of(snapshot_id)
+            )
+            head = ids[-1]
+            if head == snapshot_id:
+                return {"snapshot_id": head, "rolled_back_to": snapshot_id,
+                        "noop": True}
+            new_id = head + 1
+            m["snapshots"].append(
+                {
+                    "snapshot_id": new_id,
+                    "run_id": f"rollback-to-{snapshot_id}",
+                    "committed_at_unix": time.time(),
+                    "operation": "replace",
+                    "rolled_back_to": snapshot_id,
+                    "data_files": state,
+                }
+            )
+            self._write_manifest(m)
+        return {"snapshot_id": new_id, "rolled_back_to": snapshot_id,
+                "data_files": len(state)}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Iceberg's expire_snapshots: drop all but the newest
         `keep_last` snapshot entries and DELETE data files referenced by
