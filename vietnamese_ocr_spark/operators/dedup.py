@@ -136,34 +136,43 @@ def minhash_band_buckets(docs: DataFrame, k: int = 4, band_chars: int = 2) -> Da
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over word hashes (md5-derived 32-bit ints).
 
-    Shuffle carries only (doc_id, bit, ±1 partial sums); the bit loop is
-    an explode over a literal array, not per-row Python.
+    Round-7 rewrite: the whole reduction runs INSIDE one codegen'd
+    projection — the word-hash array is materialized once per row, then
+    each bit's ±1 sum is an `aggregate()` fold over it, and the final
+    simhash OR-combines the per-bit signs. The previous form exploded
+    every (word, bit) pair to rows (16x fan-out, ~40M rows at sf1.0)
+    and paid two aggregation shuffles; this form shuffles NOTHING (the
+    per-doc sums need no cross-row combine — SimHash is per-document).
+    Values are identical: the fold visits every word occurrence exactly
+    like the exploded sum did, and s_b = 2*c_b - n where c_b counts
+    words with bit b set.
     """
-    word_hash = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
-    exploded = (
-        docs.select("doc_id", F.explode(_words()).alias("word"))
-        .select("doc_id", word_hash.alias("h"))
-        .select(
-            "doc_id",
-            "h",
-            F.explode(F.array(*[F.lit(b) for b in range(bits)])).alias("bit"),
-        )
-        .select(
-            "doc_id",
-            "bit",
-            # shiftright() only takes a literal shift in the Python API;
-            # the SQL form accepts a column expression
-            F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias("w"),
-        )
+    wh = F.transform(
+        _words(),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
     )
-    bit_sums = exploded.groupBy("doc_id", "bit").agg(F.sum("w").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("simhash")
+    # explode() dropped docs whose words array was NULL/empty (only
+    # possible for NULL text); keep that exact contract
+    hashed = (
+        _spread(docs)
+        .select("doc_id", wh.alias("_wh"))
+        .filter(F.size("_wh") > 0)
     )
+    n_words = F.size("_wh")
+
+    def _bit_count(b: int):
+        # c_b = #words with bit b set; sign(s_b) == (2*c_b > n)
+        return F.aggregate(
+            F.col("_wh"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+
+    sim = None
+    for b in range(bits):
+        term = F.when(_bit_count(b) * 2 > n_words, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def jaccard_candidates(

@@ -59,10 +59,19 @@ def q_max_target_len(spark, sf):  # A2
 
 
 def q_cer_corpus(spark, sf):  # A3: corpus CER = sum(lev)/sum(len)
+    # round 7: algebraic rewrite of levenshtein(text, pred). `pred` is
+    # text with every [aeiou] deleted, i.e. a SUBSEQUENCE of text, so
+    #   lev(text, pred) >= len(text) - len(pred)   (length lower bound)
+    #   lev(text, pred) <= len(text) - len(pred)   (delete those chars)
+    # hence lev == length(text) - length(pred), exactly — no O(n*m) DP.
+    # The DP was ~3.3e9 cells at sf1.0 on a single-split scan (28.9s
+    # measured); this form is a subtraction (oracle still runs DuckDB's
+    # real levenshtein and the values match; equivalence is also pinned
+    # by tests/test_cer_rewrite.py on real corpus rows).
     d = t(spark, sf, "documents").select(
         F.col("text"), F.regexp_replace("text", "[aeiou]", "").alias("pred")
     )
-    lev = F.levenshtein("text", "pred")
+    lev = F.length("text") - F.length("pred")
     return d.agg(
         F.sum(lev).cast("long").alias("total_errors"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
