@@ -197,23 +197,31 @@ def jaccard_candidates(
     The threshold is applied to the UNROUNDED ratio (matching the SQL
     oracle); rounding to 6 digits happens only on the output column.
     """
-    # explode_outer + post-filter, NOT plain explode: the non-outer
-    # Generate synthesizes a size(shingles)>0 predicate that Catalyst
-    # pushes below the exchange, re-evaluating the whole shingle
-    # transform twice per row on the narrow pre-shuffle side (measured
-    # 2x full-query cost); the isnotnull filter on the generated column
-    # cannot sink below the Generate, so the transform runs once, spread.
-    sh = _persist_tracked(
-        add_shingles(_spread(docs), shingle_n)
-        .select("doc_id", F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .distinct()
+    # Round-7 restructure of the shingle-set build:
+    #   * the old (doc_id, s).distinct() exchange is GONE — shingle
+    #     dedup is per-document, so array_distinct inside the projection
+    #     computes the identical set with zero shuffle (guide §2.4:
+    #     remove shuffles the data's structure makes unnecessary);
+    #   * shingle IDENTITY travels as unhex(md5(s)) — 16 fixed bytes
+    #     instead of the raw 3-word string — through the df cap and the
+    #     self-join (guide §2.3 "shuffle keys instead of payloads";
+    #     md5-as-identity is this module's exact-dedup convention, see
+    #     exact_dedup_stats). Nothing downstream needs the text.
+    #   * per-doc sizes are size(sarr) — a projection, not a groupBy.
+    sh_docs = _persist_tracked(
+        add_shingles(_spread(docs), shingle_n).select(
+            "doc_id",
+            F.transform(
+                F.array_distinct("shingles"), lambda s: F.unhex(F.md5(s))
+            ).alias("sarr"),
+        )
     )
-    # persist: four subtrees consume sh (sizes, hot-shingle df, both join
-    # sides); without it Spark re-runs the explode+distinct shuffle 4x.
-    # Tracked for release_persisted() so long sessions don't accumulate
-    # cached blocks across repeated calls.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # persist: four subtrees consume the shingle sets (sizes, hot-shingle
+    # df, both join sides); without it Spark re-runs the shingle
+    # transform 4x. Tracked for release_persisted() so long sessions
+    # don't accumulate cached blocks across repeated calls.
+    sh = sh_docs.select("doc_id", F.explode("sarr").alias("s"))
+    sizes = sh_docs.select("doc_id", F.size("sarr").alias("sz"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("s")
@@ -224,18 +232,54 @@ def jaccard_candidates(
         sh = sh.join(hot, "s", "left_anti")
     a = sh.select(F.col("doc_id").alias("da"), "s")
     b = sh.select(F.col("doc_id").alias("db"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
-    )
+    # The pair count is a HUGE-cardinality aggregation (the candidate
+    # volume is sum over shingles of df^2 — measured 114M distinct pairs
+    # at sf1.0). A plain groupBy would build the partial-agg hash tables
+    # BEFORE the exchange: ~4M groups per map task, far over the
+    # per-task execution-memory share, so every task spills (guide §5).
+    # Repartitioning by the pair key first moves the raw narrow rows
+    # (3 longs) through the exchange and builds each hash table exactly
+    # once, post-shuffle, at 4x partition count so per-task state stays
+    # small (guide §2.5 "more partitions, smaller per-task state").
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    joined = a.join(b, "s").filter(F.col("da") < F.col("db"))
+    # When doc ids fit 31 bits (they are sequential row ids in every
+    # corpus this engine ingests), the pair key packs into ONE long —
+    # measured 7.3s vs 10.7s at sf1.0 for the repartition+agg leg: half
+    # the grouping-key bytes through the exchange and a single-word hash
+    # key. The range probe rides the (tiny, already-persisted) sh table;
+    # out-of-range ids take the exact two-column path instead.
+    bounds = sh.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if bounds[0] is not None and bounds[0] >= 0 and bounds[1] < (1 << 31):
+        pk = F.shiftleft(F.col("da"), 32) + F.col("db")
+        inter = (
+            joined.select(pk.alias("pk"))
+            .repartition(4 * n_parts, "pk")
+            .groupBy("pk")
+            .agg(F.count("*").alias("inter"))
+            .select(
+                F.shiftright("pk", 32).alias("da"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("db"),
+                "inter",
+            )
+        )
+    else:
+        inter = (
+            joined.select("da", "db")
+            .repartition(4 * n_parts, "da", "db")
+            .groupBy("da", "db")
+            .agg(F.count("*").alias("inter"))
+        )
     sza = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     ratio = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    # sizes is per-doc (tiny next to the pair table): broadcast it
+    # explicitly so the attach can never degrade to a sort-merge join
+    # dragging the pair table through two more sorts when size estimates
+    # go stale at larger SFs (guide §3.1).
     return (
-        inter.join(sza, "da")
-        .join(szb, "db")
+        inter.join(F.broadcast(sza), "da")
+        .join(F.broadcast(szb), "db")
         .filter(ratio >= threshold)
         .select("da", "db", F.round(ratio, 6).alias("jaccard"))
     )
@@ -406,13 +450,20 @@ def verify_jaccard_pairs(
     # transform + distinct shuffle. At 100 TB candidates are a small
     # fraction of the corpus, so this is the difference between
     # re-scanning everything and touching just the suspects.
-    sh = _persist_tracked(
+    sh_docs = _persist_tracked(
         add_shingles(_spread(docs.join(cand_docs, "doc_id", "left_semi")), shingle_n)
-        .select("doc_id", F.explode_outer("shingles").alias("s"))
-        .filter(F.col("s").isNotNull())
-        .distinct()
-    )  # consumed by sizes and both pair sides
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.array_distinct("shingles"), lambda s: F.unhex(F.md5(s))
+            ).alias("sarr"),
+        )
+    )  # consumed by sizes and both pair sides; per-doc dedup is
+    # array_distinct in the projection (no distinct exchange) and
+    # shingle identity travels as the 16-byte md5 digest, never the raw
+    # text (round-7, same convention as jaccard_candidates)
+    sh = sh_docs.select("doc_id", F.explode("sarr").alias("s"))
+    sizes = sh_docs.select("doc_id", F.size("sarr").alias("sz"))
     sha = sh.select(F.col("doc_id").alias("da"), "s")
     shb = sh.select(F.col("doc_id").alias("db"), "s")
     inter = (
@@ -425,8 +476,8 @@ def verify_jaccard_pairs(
     szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     ratio = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
     return (
-        inter.join(sza, "da")
-        .join(szb, "db")
+        inter.join(F.broadcast(sza), "da")
+        .join(F.broadcast(szb), "db")
         .filter(ratio >= threshold)
         .select("da", "db", F.round(ratio, 6).alias("jaccard"))
     )
