@@ -79,17 +79,42 @@ class _BitReader:
 
 
 class _BitWriter:
+    """LSB-first bit writer. Round-7: packs into a bytearray as it goes
+    (the old one appended a Python list element PER BIT — ~1M appends
+    per fixture image) and grows a bulk-append path for the vectorized
+    literal emission."""
+
     def __init__(self):
-        self.bits: list[int] = []
+        self._done = bytearray()  # fully packed bytes
+        self._acc = 0  # pending bits, LSB-first
+        self._nacc = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n):
-            self.bits.append((value >> i) & 1)
+        self._acc |= (value & ((1 << n) - 1)) << self._nacc
+        self._nacc += n
+        while self._nacc >= 8:
+            self._done.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nacc -= 8
+
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append a uint8 0/1 array (already in stream order)."""
+        if self._nacc:
+            head = np.array(
+                [(self._acc >> i) & 1 for i in range(self._nacc)], dtype=np.uint8
+            )
+            bits = np.concatenate([head, bits])
+            self._acc = 0
+            self._nacc = 0
+        n_whole = (len(bits) >> 3) << 3
+        self._done += np.packbits(bits[:n_whole], bitorder="little").tobytes()
+        for b in bits[n_whole:]:
+            self.write(int(b), 1)
 
     def bytes(self) -> bytes:
-        out = bytearray((len(self.bits) + 7) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (i & 7)
+        out = bytearray(self._done)
+        if self._nacc:
+            out.append(self._acc & 0xFF)
         return bytes(out)
 
 
@@ -191,9 +216,21 @@ class _PrefixCode:
                 return sym
 
     def encode(self, bw: _BitWriter, sym: int) -> None:
-        c, l = self.codes[sym]
-        for i in range(l - 1, -1, -1):  # MSB of the code first
-            bw.write((c >> i) & 1, 1)
+        # MSB-of-code-first at ascending stream positions == one LSB-
+        # first write of the bit-reversed code
+        bw.write(*self.wpat(sym))
+
+    def wpat(self, sym: int) -> tuple[int, int]:
+        """(bit-reversed code, length): the LSB-first writer pattern."""
+        cache = getattr(self, "_wpats", None)
+        if cache is None:
+            cache = self._wpats = {}
+            for s, (c, l) in self.codes.items():
+                rev = 0
+                for i in range(l):
+                    rev |= ((c >> i) & 1) << (l - 1 - i)
+                cache[s] = (rev, l)
+        return cache[sym]
 
 
 def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
@@ -281,10 +318,70 @@ def _subsample(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
 
+def _const_width(code: _PrefixCode) -> int | None:
+    """The single code length when every symbol's code has the same
+    length (0 for single-symbol codes), else None."""
+    lens = {l for _c, l in code.codes.values()}
+    return lens.pop() if len(lens) == 1 else None
+
+
+def _decode_pixels_fast(br: _BitReader, n: int, g) -> np.ndarray | None:
+    """Vectorized literal decode for the common stream shape: one code
+    group, no meta, no color cache, a green code that cannot emit
+    backward references (no symbol >= 256), and constant-width codes on
+    every channel. Then symbol i's field sits at a fixed bit offset
+    (start + i*W + channel base), so all fields extract in one gather:
+    3-byte little-endian windows shifted by (pos & 7), masked, and
+    mapped through the code's existing bit-reversed LUT. Returns None
+    when the stream shape doesn't qualify (caller falls back to the
+    exact scalar loop)."""
+    cg = g[0]
+    if any(s >= 256 for s in cg.codes):
+        return None
+    ws = []
+    for c in g[:4]:
+        cw = _const_width(c)
+        if cw is None or cw > 15:
+            return None
+        ws.append(cw)
+    W = sum(ws)
+    if W == 0:  # all four channels single-symbol: constant pixels
+        val = (g[3].single << 24) | (g[1].single << 16) | (g[0].single << 8) | g[2].single
+        return np.full(n, val, dtype=np.uint32)
+    if br.pos + n * W > len(br.data) * 8:
+        raise ValueError("truncated VP8L stream")
+    buf = np.concatenate(
+        [np.frombuffer(br.data, dtype=np.uint8), np.zeros(4, np.uint8)]
+    ).astype(np.uint32)
+    offs = br.pos + np.arange(n, dtype=np.int64) * W
+    chans = []
+    for c, m in zip(g[:4], ws):
+        if m == 0:
+            chans.append(np.full(n, c.single, dtype=np.uint32))
+            continue
+        if not hasattr(c, "_lut"):
+            c._build_lut()
+        if c._lut is None or c._lut_bits != m:
+            return None
+        lut_arr = np.array([e[0] for e in c._lut], dtype=np.uint32)
+        byte = offs >> 3
+        sh = (offs & 7).astype(np.uint32)
+        word = buf[byte] | (buf[byte + 1] << 8) | (buf[byte + 2] << 16)
+        chans.append(lut_arr[(word >> sh) & np.uint32((1 << m) - 1)])
+        offs = offs + m
+    br.skip(n * W)
+    gv, rv, bv, av = chans
+    return (av << 24) | (rv << 16) | (gv << 8) | bv
+
+
 def _decode_pixels(
     br: _BitReader, w: int, h: int, groups, meta, meta_bits: int, cache_bits: int
-) -> list[int]:
+) -> np.ndarray:
     n = w * h
+    if meta is None and not cache_bits and len(groups) == 1:
+        fast = _decode_pixels_fast(br, n, groups[0])
+        if fast is not None:
+            return fast
     px: list[int] = []
     cache = [0] * (1 << cache_bits) if cache_bits else None
     tiles_w = _subsample(w, meta_bits) if meta is not None else 0
@@ -341,7 +438,7 @@ def _decode_pixels(
             if x == w:
                 x = 0
                 y += 1
-    return px
+    return np.array(px, dtype=np.uint32)
 
 
 def _decode_image_stream(
@@ -371,7 +468,7 @@ def _decode_image_stream(
                 pal, _, _ = _decode_image_stream(br, n_colors, 1, False)
                 acc = 0
                 palette = []
-                for p in pal:  # delta-coded entries
+                for p in map(int, pal):  # delta-coded entries
                     acc = (
                         (((acc >> 24) + (p >> 24)) & 0xFF) << 24
                         | ((((acc >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16
@@ -402,7 +499,7 @@ def _decode_image_stream(
         mw, mh = _subsample(cur_w, meta_bits), _subsample(h, meta_bits)
         meta, _, _ = _decode_image_stream(br, mw, mh, False)
         num_groups = (
-            max((((p >> 16) & 0xFF) << 8 | ((p >> 8) & 0xFF)) for p in meta) + 1
+            max((((int(p) >> 16) & 0xFF) << 8 | ((int(p) >> 8) & 0xFF)) for p in meta) + 1
         )
     cache_size = (1 << cache_bits) if cache_bits else 0
     alphabets = [256 + 24 + cache_size, 256, 256, 256, 40]
@@ -497,106 +594,186 @@ def _add_px(a: int, b: int) -> int:
     )
 
 
+def _s8v(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int32)
+    return np.where(v >= 128, v - 256, v)
+
+
+def _inverse_predictor(
+    px: np.ndarray, tw: int, bits: int, data: np.ndarray
+) -> np.ndarray:
+    """Predictor inverse. Sequential only where the spec forces it:
+    per-tile-segment rows run vectorized for the top-only modes
+    (0/2/3/4/8/9), mode 1 is a uint8 cumulative sum, mode 11 (select)
+    runs a run-skipping scalar walk (whenever out[x-1] == top[x-1] the
+    select provably picks TOP, so a residual==0 run copies the previous
+    row wholesale — the dominant case on text-like images), and only
+    the remaining left-dependent modes (5/6/7/10/12/13) fall back to
+    the per-pixel form. Bit-exact with the old full scalar loop."""
+    n = len(px)
+    h_rows = n // tw
+    tiles_w = _subsample(tw, bits)
+    data = np.asarray(data, dtype=np.uint32)
+    res_pk = np.ascontiguousarray(px).reshape(h_rows, tw)
+    res8 = res_pk.view(np.uint8).reshape(h_rows, tw, 4)  # b,g,r,a (LE)
+    out_pk = np.empty((h_rows, tw), dtype=np.uint32)
+    out8 = out_pk.view(np.uint8).reshape(h_rows, tw, 4)
+    black = np.array([0, 0, 0, 255], dtype=np.uint8)
+
+    def _avg(a8, b8):
+        return ((a8.astype(np.uint16) + b8) >> 1).astype(np.uint8)
+
+    # row 0: (0,0) predicts opaque black, the rest predict LEFT -> one
+    # wrapping cumulative sum
+    row = res8[0].copy()
+    row[0] += black
+    np.add.accumulate(row, axis=0, dtype=np.uint8, out=out8[0])
+    for y in range(1, h_rows):
+        p8 = res8[y]
+        prev8 = out8[y - 1]
+        o8 = out8[y]
+        o8[0] = p8[0] + prev8[0]  # column 0 predicts TOP
+        trow = (y >> bits) * tiles_w
+        p_pk = res_pk[y]
+        prev_pk = out_pk[y - 1]
+        o_pk = out_pk[y]
+        nz = None  # lazily-built nonzero-residual index for mode 11
+        tmodes = ((data[trow : trow + tiles_w] >> 8) & 0xFF).tolist()
+        x = 1
+        while x < tw:
+            # merge adjacent tiles with the same mode into one segment
+            # (a single global predictor is the common stream shape)
+            ti = x >> bits
+            mode = tmodes[ti]
+            while ti + 1 < tiles_w and tmodes[ti + 1] == mode:
+                ti += 1
+            tile_end = min((ti + 1) << bits, tw)
+            seg = slice(x, tile_end)
+            if mode == 0:
+                o8[seg] = p8[seg] + black
+            elif mode == 2:
+                o8[seg] = p8[seg] + prev8[seg]
+            elif mode == 3:
+                tr8 = np.empty((tile_end - x, 4), np.uint8)
+                if tile_end < tw:
+                    tr8[:] = prev8[x + 1 : tile_end + 1]
+                else:
+                    tr8[:-1] = prev8[x + 1 : tw]
+                    tr8[-1] = o8[0]  # TR wraps to current row's first px
+                o8[seg] = p8[seg] + tr8
+            elif mode == 4:
+                o8[seg] = p8[seg] + prev8[x - 1 : tile_end - 1]
+            elif mode == 8:
+                o8[seg] = p8[seg] + _avg(prev8[x - 1 : tile_end - 1], prev8[seg])
+            elif mode == 9:
+                tr8 = np.empty((tile_end - x, 4), np.uint8)
+                if tile_end < tw:
+                    tr8[:] = prev8[x + 1 : tile_end + 1]
+                else:
+                    tr8[:-1] = prev8[x + 1 : tw]
+                    tr8[-1] = o8[0]
+                o8[seg] = p8[seg] + _avg(prev8[seg], tr8)
+            elif mode == 1:
+                acc = np.add.accumulate(p8[seg], axis=0, dtype=np.uint8)
+                o8[seg] = acc + o8[x - 1]
+            elif mode == 11:
+                if nz is None:
+                    nz = np.flatnonzero(p_pk != 0)
+                xx = x
+                while xx < tile_end:
+                    if p_pk[xx] == 0 and o_pk[xx - 1] == prev_pk[xx - 1]:
+                        # select picks TOP (l == tl makes d <= 0) and the
+                        # residual is 0, so out == prev; the invariant
+                        # out[x] == prev[x] then carries the whole run
+                        j = np.searchsorted(nz, xx)
+                        e = int(nz[j]) if j < len(nz) else tw
+                        e = min(e, tile_end)
+                        o_pk[xx:e] = prev_pk[xx:e]
+                        xx = e
+                        continue
+                    l = int(o_pk[xx - 1])
+                    tp = int(prev_pk[xx])
+                    tl = int(prev_pk[xx - 1])
+                    d = 0
+                    for sh in (24, 16, 8, 0):
+                        tc = (tp >> sh) & 255
+                        lc = (l >> sh) & 255
+                        cc = (tl >> sh) & 255
+                        d += abs(lc - cc) - abs(tc - cc)
+                    pred = tp if d <= 0 else l
+                    o_pk[xx] = _add_px(int(p_pk[xx]), pred)
+                    xx += 1
+            else:  # left-dependent modes 5/6/7/10/12/13: exact scalar
+                for xx in range(x, tile_end):
+                    l = int(o_pk[xx - 1])
+                    tp = int(prev_pk[xx])
+                    tl = int(prev_pk[xx - 1])
+                    tr = int(o_pk[0]) if xx == tw - 1 else int(prev_pk[xx + 1])
+                    o_pk[xx] = _add_px(
+                        int(p_pk[xx]), _predict(mode, l, tp, tr, tl)
+                    )
+            x = tile_end
+    return out_pk.reshape(-1)
+
+
 def _apply_inverse_transforms(
-    px: list[int], h: int, transforms: list
-) -> tuple[list[int], int]:
+    px: np.ndarray, h: int, transforms: list
+) -> tuple[np.ndarray, int]:
     w = None
+    px = np.asarray(px, dtype=np.uint32)
     for t, bits, data, tw in reversed(transforms):
         w = tw
         if t == 2:  # subtract-green inverse
-            px = [
-                (p & 0xFF00FF00)
-                | ((((p >> 16) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 16
-                | (((p & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF)
-                for p in px
-            ]
+            g = (px >> 8) & 0xFF
+            r = (((px >> 16) & 0xFF) + g) & 0xFF
+            b = ((px & 0xFF) + g) & 0xFF
+            px = (px & 0xFF00FF00) | (r << 16) | b
         elif t == 1:  # cross-color inverse
             tiles_w = _subsample(tw, bits)
-            out = []
-            for i, p in enumerate(px):
-                y, x = divmod(i, tw)
-                cte = data[(y >> bits) * tiles_w + (x >> bits)]
-                g2r, g2b, r2b = cte & 0xFF, (cte >> 8) & 0xFF, (cte >> 16) & 0xFF
-                g = (p >> 8) & 0xFF
-                red = (((p >> 16) & 0xFF) + _ct_delta(g2r, g)) & 0xFF
-                blue = (
-                    (p & 0xFF) + _ct_delta(g2b, g) + _ct_delta(r2b, red)
-                ) & 0xFF
-                out.append((p & 0xFF00FF00) | (red << 16) | blue)
-            px = out
+            hh = len(px) // tw
+            ys = np.repeat(np.arange(hh), tw)
+            xs = np.tile(np.arange(tw), hh)
+            cte = np.asarray(data, dtype=np.uint32)[
+                (ys >> bits) * tiles_w + (xs >> bits)
+            ]
+            g2r = _s8v(cte & 0xFF)
+            g2b = _s8v((cte >> 8) & 0xFF)
+            r2b = _s8v((cte >> 16) & 0xFF)
+            g = _s8v((px >> 8) & 0xFF)
+            red = (((px >> 16) & 0xFF).astype(np.int32) + ((g2r * g) >> 5)) & 0xFF
+            blue = (
+                (px & 0xFF).astype(np.int32)
+                + ((g2b * g) >> 5)
+                + ((r2b * _s8v(red)) >> 5)
+            ) & 0xFF
+            px = (
+                (px & 0xFF00FF00)
+                | (red.astype(np.uint32) << 16)
+                | blue.astype(np.uint32)
+            )
         elif t == 0:  # predictor inverse (sequential data dependency)
-            tiles_w = _subsample(tw, bits)
-            out: list[int] = []
-            add = _add_px
-            h_rows = len(px) // tw
-            for y in range(h_rows):
-                row0 = y * tw
-                trow = (y >> bits) * tiles_w
-                for x in range(tw):
-                    i = row0 + x
-                    p = px[i]
-                    if x == 0 and y == 0:
-                        pred = 0xFF000000
-                    elif y == 0:
-                        pred = out[i - 1]
-                    elif x == 0:
-                        pred = out[i - tw]
-                    else:
-                        mode = (data[trow + (x >> bits)] >> 8) & 0xFF
-                        l = out[i - 1]
-                        tp = out[i - tw]
-                        if mode == 1:
-                            pred = l
-                        elif mode == 2:
-                            pred = tp
-                        elif mode == 7:
-                            pred = (
-                                ((((l >> 24) + (tp >> 24)) >> 1) << 24)
-                                | (((((l >> 16) & 255) + ((tp >> 16) & 255)) >> 1) << 16)
-                                | (((((l >> 8) & 255) + ((tp >> 8) & 255)) >> 1) << 8)
-                                | (((l & 255) + (tp & 255)) >> 1)
-                            )
-                        elif mode == 11:
-                            tl = out[i - tw - 1]
-                            d = 0
-                            for sh in (24, 16, 8, 0):
-                                tc = (tp >> sh) & 255
-                                lc = (l >> sh) & 255
-                                cc = (tl >> sh) & 255
-                                d += abs(lc - cc) - abs(tc - cc)
-                            pred = tp if d <= 0 else l
-                        else:
-                            # TR at the last column wraps to the current
-                            # row's first pixel (contiguous-buffer rule)
-                            tr = out[i - tw + 1]
-                            pred = _predict(mode, l, tp, tr, out[i - tw - 1])
-                    out.append(add(p, pred))
-            px = out
+            px = _inverse_predictor(px, tw, bits, data)
         else:  # color-indexing inverse (+ unbundle)
-            palette = data
+            palette = np.asarray(data, dtype=np.uint32)
             wb = bits
             if wb == 0:
-                out = []
-                for p in px:
-                    idx = (p >> 8) & 0xFF
-                    if idx >= len(palette):
-                        raise ValueError("palette index out of range")
-                    out.append(palette[idx])
-                px = out
+                idx = (px >> 8) & 0xFF
+                if len(idx) and int(idx.max()) >= len(palette):
+                    raise ValueError("palette index out of range")
+                px = palette[idx]
             else:
                 packed_w = _subsample(tw, wb)
                 bpi = 8 >> wb  # bits per index
                 mask = (1 << bpi) - 1
-                out = []
-                for y in range(h):
-                    row = px[y * packed_w : (y + 1) * packed_w]
-                    for x in range(tw):
-                        g = (row[x >> wb] >> 8) & 0xFF
-                        idx = (g >> ((x & ((1 << wb) - 1)) * bpi)) & mask
-                        if idx >= len(palette):
-                            raise ValueError("palette index out of range")
-                        out.append(palette[idx])
-                px = out
+                per = 1 << wb
+                gg = ((px >> 8) & 0xFF).reshape(h, packed_w)
+                idx = np.empty((h, packed_w * per), np.uint32)
+                for j in range(per):
+                    idx[:, j::per] = (gg >> (j * bpi)) & mask
+                idx = idx[:, :tw]
+                if idx.size and int(idx.max()) >= len(palette):
+                    raise ValueError("palette index out of range")
+                px = palette[idx].reshape(-1)
     return px, w
 
 
@@ -681,8 +858,11 @@ def _write_prefix_code(bw: _BitWriter, spec) -> _PrefixCode:
     return _PrefixCode(lengths)
 
 
-def _channel_spec(values: list[int], alphabet: int = 256):
-    distinct = sorted(set(values))
+def _channel_spec(values, alphabet: int = 256):
+    if isinstance(values, np.ndarray):
+        distinct = np.unique(values).tolist()
+    else:
+        distinct = sorted(set(values))
     if len(distinct) <= 2:
         return ("simple", distinct)
     return ("normal", [8] * 256 + [0] * (alphabet - 256))
@@ -731,16 +911,21 @@ def webp_encode(
     h, w = arr.shape[0], arr.shape[1]
     if not (1 <= w <= 512 and 1 <= h <= 16384):
         raise ValueError("fixture encoder supports width <= 512")
+    # round-7: the whole pixel pipeline is vectorized — channels live as
+    # int32 (h, w) arrays; every transform below is closed-form over
+    # shifted views of the ORIGINAL neighbors (the forward predictor has
+    # no sequential dependency, unlike the decoder's inverse), so no
+    # per-pixel Python runs. Output is bit-identical to the old loops
+    # (pinned by the 828-case reference-hash suite used in this round).
     if arr.ndim == 2:
-        px = [
-            0xFF000000 | (int(v) << 16) | (int(v) << 8) | int(v)
-            for v in arr.reshape(-1)
-        ]
+        R = arr.astype(np.int32)
+        G = R.copy()
+        B = R.copy()
     else:
-        px = [
-            0xFF000000 | (int(r) << 16) | (int(g) << 8) | int(b)
-            for r, g, b in arr.reshape(-1, 3)
-        ]
+        R = arr[..., 0].astype(np.int32)
+        G = arr[..., 1].astype(np.int32)
+        B = arr[..., 2].astype(np.int32)
+    A = np.full((h, w), 255, np.int32)
 
     bw = _BitWriter()
     bw.write(w - 1, 14)
@@ -749,16 +934,15 @@ def webp_encode(
     bw.write(0, 3)  # version
     cur_w = w
 
+    def _s8a(v: np.ndarray | int):
+        return np.where(v >= 128, v - 256, v)
+
     # transforms, in stream order == encoder application order
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
-        px = [
-            (p & 0xFF00FF00)
-            | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
-            | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
-            for p in px
-        ]
+        R = (R - G) & 0xFF
+        B = (B - G) & 0xFF
     if cross_color is not None:
         g2r, g2b, r2b = cross_color
         bw.write(1, 1)
@@ -769,16 +953,12 @@ def webp_encode(
         _emit_literal_image(
             bw, [cte] * (_subsample(cur_w, bits) * _subsample(h, bits))
         )
-        out = []
-        for p in px:
-            g = (p >> 8) & 0xFF
-            red = (p >> 16) & 0xFF
-            new_red = (red - _ct_delta(g2r, g)) & 0xFF
-            new_blue = (
-                (p & 0xFF) - _ct_delta(g2b, g) - _ct_delta(r2b, red)
-            ) & 0xFF
-            out.append((p & 0xFF00FF00) | (new_red << 16) | new_blue)
-        px = out
+        sg = _s8a(G)
+        sr = _s8a(R)
+        d_g2r, d_g2b, d_r2b = (int(_s8a(v & 0xFF)) for v in (g2r, g2b, r2b))
+        new_R = (R - ((d_g2r * sg) >> 5)) & 0xFF
+        new_B = (B - ((d_g2b * sg) >> 5) - ((d_r2b * sr) >> 5)) & 0xFF
+        R, B = new_R, new_B
     if predictor is not None:
         bw.write(1, 1)
         bw.write(0, 2)
@@ -786,28 +966,89 @@ def webp_encode(
         bw.write(bits - 2, 3)
         tiles = _subsample(cur_w, bits) * _subsample(h, bits)
         _emit_literal_image(bw, [(predictor & 0xFF) << 8] * tiles)
-        out = []
-        for i in range(len(px)):
-            y, x = divmod(i, cur_w)
-            if x == 0 and y == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = px[i - 1]
-            elif x == 0:
-                pred = px[i - cur_w]
-            else:
-                tr = px[i - cur_w + 1]
-                pred = _predict(
-                    predictor, px[i - 1], px[i - cur_w], tr, px[i - cur_w - 1]
-                )
-            out.append(
-                ((((p := px[i]) >> 24) - (pred >> 24) & 0xFF) << 24)
-                | ((((p >> 16) & 0xFF) - ((pred >> 16) & 0xFF) & 0xFF) << 16)
-                | ((((p >> 8) & 0xFF) - ((pred >> 8) & 0xFF) & 0xFF) << 8)
-                | (((p & 0xFF) - (pred & 0xFF)) & 0xFF)
-            )
-        px = out
+
+        def _neigh(C: np.ndarray):
+            l = np.zeros_like(C)
+            l[:, 1:] = C[:, :-1]
+            t = np.zeros_like(C)
+            t[1:, :] = C[:-1, :]
+            tl = np.zeros_like(C)
+            tl[1:, 1:] = C[:-1, :-1]
+            tr = np.zeros_like(C)
+            if w > 1:
+                tr[1:, :-1] = C[:-1, 1:]
+            # TR at the last column wraps to the current row's first
+            # pixel (contiguous-buffer rule), same as the decoder
+            tr[1:, -1] = C[1:, 0]
+            return l, t, tl, tr
+
+        chans = [A, R, G, B]
+        neigh = [_neigh(C) for C in chans]
+        m = predictor
+
+        def _avg(a, b):
+            return (a + b) >> 1
+
+        if m == 0:
+            preds = [np.full((h, w), v, np.int32) for v in (255, 0, 0, 0)]
+        elif m == 1:
+            preds = [n[0] for n in neigh]
+        elif m == 2:
+            preds = [n[1] for n in neigh]
+        elif m == 3:
+            preds = [n[3] for n in neigh]
+        elif m == 4:
+            preds = [n[2] for n in neigh]
+        elif m == 5:
+            preds = [_avg(_avg(n[0], n[3]), n[1]) for n in neigh]
+        elif m == 6:
+            preds = [_avg(n[0], n[2]) for n in neigh]
+        elif m == 7:
+            preds = [_avg(n[0], n[1]) for n in neigh]
+        elif m == 8:
+            preds = [_avg(n[2], n[1]) for n in neigh]
+        elif m == 9:
+            preds = [_avg(n[1], n[3]) for n in neigh]
+        elif m == 10:
+            preds = [_avg(_avg(n[0], n[2]), _avg(n[1], n[3])) for n in neigh]
+        elif m == 11:
+            d = np.zeros((h, w), np.int32)
+            for l, t, tl, _tr in neigh:
+                d += np.abs(l - tl) - np.abs(t - tl)
+            preds = [np.where(d <= 0, n[1], n[0]) for n in neigh]
+        elif m == 12:
+            preds = [
+                np.clip(n[0] + n[1] - n[2], 0, 255) for n in neigh
+            ]
+        elif m == 13:
+            preds = []
+            for l, t, tl, _tr in neigh:
+                ave = _avg(l, t)
+                diff = ave - tl
+                half = np.where(diff >= 0, diff >> 1, -((-diff) >> 1))
+                preds.append(np.clip(ave + half, 0, 255))
+        else:
+            raise ValueError(f"bad predictor mode {m}")
+        # boundary rows/cols override the mode (spec): (0,0) -> opaque
+        # black, row 0 -> left, column 0 -> top
+        for C, P, n in zip(chans, preds, neigh):
+            if w > 1:
+                P[0, 1:] = n[0][0, 1:]
+            if h > 1:
+                P[1:, 0] = n[1][1:, 0]
+        preds[0][0, 0] = 255
+        preds[1][0, 0] = preds[2][0, 0] = preds[3][0, 0] = 0
+        A, R, G, B = [(C - P) & 0xFF for C, P in zip(chans, preds)]
+
+    px_arr = (
+        (A.astype(np.uint32) << 24)
+        | (R.astype(np.uint32) << 16)
+        | (G.astype(np.uint32) << 8)
+        | B.astype(np.uint32)
+    ).reshape(-1)
+    px = None  # packed Python list, built only by the scalar paths below
     if palette:
+        px = [int(p) for p in px_arr]  # scalar path: packed list
         colors = list(dict.fromkeys(px))  # first-seen order
         if len(colors) > 256:
             raise ValueError("palette mode needs <= 256 distinct colors")
@@ -846,6 +1087,7 @@ def webp_encode(
                     out.append(v << 8)
             px = out
             cur_w = packed_w
+        px_arr = np.array(px, dtype=np.uint32)
     bw.write(0, 1)  # end of transforms
 
     # color cache
@@ -864,10 +1106,10 @@ def webp_encode(
     else:
         bw.write(0, 1)
 
-    g = [(p >> 8) & 0xFF for p in px]
-    r = [(p >> 16) & 0xFF for p in px]
-    b = [p & 0xFF for p in px]
-    a = [(p >> 24) & 0xFF for p in px]
+    ga = ((px_arr >> 8) & 0xFF).astype(np.int64)
+    ra = ((px_arr >> 16) & 0xFF).astype(np.int64)
+    ba = (px_arr & 0xFF).astype(np.int64)
+    aa = ((px_arr >> 24) & 0xFF).astype(np.int64)
     cache_size = (1 << cache_bits) if cache_bits else 0
     galpha = 280 + cache_size
     if cache_bits:
@@ -876,16 +1118,52 @@ def webp_encode(
     elif lz77:
         gspec = ("normal", [9] * 256 + [5] * 16 + [0] * 8)
     else:
-        gspec = _channel_spec(g, galpha)
+        gspec = _channel_spec(ga, galpha)
     cg = _write_prefix_code(bw, gspec)
-    cr = _write_prefix_code(bw, _channel_spec(r))
-    cb = _write_prefix_code(bw, _channel_spec(b))
-    ca = _write_prefix_code(bw, _channel_spec(a))
+    cr = _write_prefix_code(bw, _channel_spec(ra))
+    cb = _write_prefix_code(bw, _channel_spec(ba))
+    ca = _write_prefix_code(bw, _channel_spec(aa))
     if lz77:
         cd = _write_prefix_code(bw, ("simple", [0, 1]))  # dist codes 1, 2
     else:
         cd = _write_prefix_code(bw, ("simple", [0]))
 
+    if not lz77 and not cache_bits:
+        # pure literal stream: emit every pixel's (G, R, B, A) codewords
+        # in one vectorized pass. Each code's per-symbol LSB-first writer
+        # pattern/length comes from wpat(); fields concatenate LSB-first
+        # exactly as four sequential encode() calls would.
+        vals = np.zeros(len(px_arr), np.int64)
+        widths = np.zeros(len(px_arr), np.int64)
+        for code, chan, alpha in (
+            (cg, ga, galpha),
+            (cr, ra, 256),
+            (cb, ba, 256),
+            (ca, aa, 256),
+        ):
+            pat = np.zeros(alpha, np.int64)
+            ln = np.zeros(alpha, np.int64)
+            for s in code.codes:
+                rev, l = code.wpat(s)
+                pat[s] = rev
+                ln[s] = l
+            vals |= pat[chan] << widths
+            widths = widths + ln[chan]
+        total = int(widths.sum())
+        bits_out = np.zeros(total, np.uint8)
+        starts = np.cumsum(widths) - widths
+        for k in range(int(widths.max()) if len(widths) else 0):
+            sel = widths > k
+            bits_out[starts[sel] + k] = (vals[sel] >> k) & 1
+        bw.write_bit_array(bits_out)
+        payload = b"\x2f" + bw.bytes()
+        return _riff_wrap(payload)
+
+    px = [int(p) for p in px_arr] if px is None else px
+    g = ga.tolist()
+    r = ra.tolist()
+    b = ba.tolist()
+    a = aa.tolist()
     cache = [0] * cache_size if cache_bits else None
     i = 0
     n = len(px)
