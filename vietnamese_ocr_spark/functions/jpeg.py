@@ -425,24 +425,39 @@ def _enc_dc_first(block: np.ndarray, pred: int, dc: dict, al: int,
 
 def _enc_ac_first(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
                   bw: _BitWriter, state: dict) -> None:
-    r = 0
-    for k in range(ss, se + 1):
-        t = int(block[k])
-        t = (t >> al) if t >= 0 else -((-t) >> al)  # trunc toward zero
-        if t == 0:
-            r += 1
-            continue
-        _enc_flush_eobrun(state, ac, bw)
+    # round-7: the per-coefficient loop visits only the nonzeros (numpy
+    # finds them); all-zero blocks — the overwhelming majority on text
+    # images — take the one-increment fast path. Emitted bits identical.
+    raw = block[ss : se + 1]
+    if not raw.any():  # all-zero band: one eobrun increment, no numpy
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _enc_flush_eobrun(state, ac, bw)
+        return
+    blk = np.asarray(raw, dtype=np.int64)
+    t_all = np.where(blk >= 0, blk >> al, -((-blk) >> al))
+    nz = np.flatnonzero(t_all)
+    if len(nz) == 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _enc_flush_eobrun(state, ac, bw)
+        return
+    _enc_flush_eobrun(state, ac, bw)
+    tl = t_all.tolist()
+    prev = -1
+    for idx in nz.tolist():
+        r = idx - prev - 1
         while r > 15:
             code, length = ac[0xF0]
             bw.put(code, length)
             r -= 16
+        t = tl[idx]
         s = abs(t).bit_length()
         code, length = ac[(r << 4) | s]
         bw.put(code, length)
         bw.put(t if t >= 0 else t + (1 << s) - 1, s)
-        r = 0
-    if r > 0:
+        prev = idx
+    if prev < se - ss:  # trailing zero run folds into an EOB
         state["eobrun"] += 1
         if state["eobrun"] == 0x7FFF:
             _enc_flush_eobrun(state, ac, bw)
@@ -459,20 +474,33 @@ def _enc_ac_refine(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
     significant coefficient is still coming (k <= EOB); a trailing run
     folds into the EOB instead. Getting this ordering wrong desyncs the
     decoder's correction-bit stream (found the hard way)."""
-    absv = [0] * (se + 1 - ss)
-    eob_pos = ss - 1  # position of the LAST newly-significant coefficient
-    for k in range(ss, se + 1):
-        t = abs(int(block[k])) >> al
-        absv[k - ss] = t
-        if t == 1:
-            eob_pos = k
+    # round-7: numpy finds the nonzero coefficients; the Python loop
+    # visits only those (zeros between them become run counts), and
+    # all-zero blocks take the one-increment fast path. Bit-identical.
+    raw = block[ss : se + 1]
+    if not raw.any():  # all-zero band: one eobrun increment, no numpy
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
+            _enc_flush_eobrun(state, ac, bw)
+        return
+    blk = np.abs(np.asarray(raw, dtype=np.int64)) >> al
+    nzl = np.flatnonzero(blk)
+    if len(nzl) == 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
+            _enc_flush_eobrun(state, ac, bw)
+        return
+    ones = np.flatnonzero(blk == 1)
+    eob_pos = ss + int(ones[-1]) if len(ones) else ss - 1
+    absv = blk.tolist()
     br_bits: list[int] = []
     r = 0
-    for k in range(ss, se + 1):
-        t = absv[k - ss]
-        if t == 0:
-            r += 1
-            continue
+    prev = ss - 1
+    for idx in nzl.tolist():
+        k = ss + idx
+        r += k - prev - 1  # zeros skipped since the previous nonzero
+        prev = k
+        t = absv[idx]
         while r > 15 and k <= eob_pos:
             _enc_flush_eobrun(state, ac, bw)
             code, length = ac[0xF0]
@@ -492,6 +520,7 @@ def _enc_ac_refine(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
             bw.put(bit, 1)
         br_bits = []
         r = 0
+    r += (se - ss) - (prev - ss)  # trailing zeros after the last nonzero
     if r > 0 or br_bits:
         state["eobrun"] += 1
         state["be_bits"].extend(br_bits)
@@ -947,11 +976,20 @@ def _dec_ac_refine(br: _BitReader, ac_tab: np.ndarray, block: np.ndarray,
                 block[k] = val
             k += 1
     if eob[0] > 0:
-        while k <= se:
-            c = int(block[k])
-            if c != 0 and br.receive(1) and (c & p1) == 0:
-                block[k] = c + (p1 if c >= 0 else m1)
-            k += 1
+        # round-7: the EOB-run tail reads exactly one correction bit per
+        # ALREADY-significant coefficient, regardless of bit values — so
+        # find the nonzeros with numpy, pull all their bits in one
+        # receive (MSB-first, same stream order), and update only those.
+        # All-zero tails (most blocks on text images) consume nothing.
+        nz = np.flatnonzero(block[k : se + 1])
+        m = len(nz)
+        if m:
+            bits_val = br.receive(m)
+            for i, kk in enumerate(nz.tolist()):
+                if (bits_val >> (m - 1 - i)) & 1:
+                    c = int(block[k + kk])
+                    if (c & p1) == 0:
+                        block[k + kk] = c + (p1 if c >= 0 else m1)
         eob[0] -= 1
 
 
