@@ -23,6 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# round-7: the packed-codebook assignment is a CPU-heavy projection
+# (aggregate/zip_with higher-order functions are CodegenFallback —
+# interpreted — so k x d fused multiply-adds per row cost real CPU), and
+# a single-file embeddings table scans as 1-2 input splits. Re-spread
+# under-split inputs across the cluster before those projections, with
+# the same file-count guard dedup uses (a real many-file table skips it).
+from .dedup import _spread as _respread  # noqa: E402
+
 
 def _vec() -> Column:
     return F.col("embedding").cast("array<double>")
@@ -99,7 +107,7 @@ def cosine_topk_zip(embeddings: DataFrame, query_vec_id: int, k: int = 10) -> Da
     qlit = F.array(*[F.lit(float(x)) for x in q])
     nq = float(sum(x * x for x in q)) ** 0.5
     v = _vec()
-    scored = embeddings.select(
+    scored = _respread(embeddings).select(
         "vec_id",
         F.round(_dot(v, qlit) / (F.sqrt(_sq_norm(v)) * F.lit(nq)), 6).alias("cosine"),
     )
@@ -233,7 +241,7 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int, k: int = 10,
             lambda c: F.struct(_dot_key(c).alias("nd"), c["cid"].alias("cid")),
         )
     )
-    assign = _with_cents(embeddings, packed).select(
+    assign = _with_cents(_respread(embeddings), packed).select(
         "vec_id", best["cid"].alias("cluster")
     )
     ranked = F.slice(
@@ -273,6 +281,7 @@ def kmeans_codebook(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFr
     so both engines quantize float noise identically. localCheckpoint
     truncates the per-round lineage. At 10^12 scale you'd train on a
     sample table; the plan is unchanged."""
+    embeddings = _respread(embeddings)
     dims = _explode_dims(embeddings)
     cent = dims.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv")
@@ -297,7 +306,7 @@ def ivf_topk_kmeans(embeddings: DataFrame, query_vec_id: int, k: int = 10,
     query's `nprobe` nearest cells."""
     packed = _pack_centroids(kmeans_codebook(embeddings, k=n_centroids, iters=iters))
     probes = _probe_cells_l2(embeddings, query_vec_id, packed, nprobe)
-    candidates = _assign(embeddings, packed).join(
+    candidates = _assign(_respread(embeddings), packed).join(
         F.broadcast(probes), F.array_contains(F.col("probes"), F.col("cluster"))
     ).select("vec_id")
     cell = embeddings.join(candidates, "vec_id")
@@ -358,6 +367,7 @@ def knn_join(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     |Q| reducers.
     """
     packed = _pack_queries(embeddings, query_ids)
+    embeddings = _respread(embeddings)
     v = _vec()
     per_query = F.transform(
         F.col("qs"),
