@@ -324,10 +324,18 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=64)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B (the R6 hardened password hash):
     iterated SHA-256/384/512 selected by an AES-128-CBC mixing step;
-    at least 64 rounds, then until E's last byte <= rounds - 32."""
+    at least 64 rounds, then until E's last byte <= rounds - 32.
+
+    Memoized (round-7): the KDF is spec-mandated ~17k AES/SHA rounds
+    (~60ms), and both the fixture writer and the opening parser call it
+    with a handful of distinct (password, salt, udata) triples per
+    corpus — password validation reuses the same inputs for every
+    document encrypted under the same credentials. A pure function of
+    its arguments, so the cache can never change a result."""
     import hashlib
 
     from .aes import aes_cbc_encrypt_nopad
