@@ -103,22 +103,52 @@ def minhash_signatures(docs: DataFrame, k: int = 4, shingle_n: int = 3) -> DataF
     A pure projection — each row computes its signature independently, so
     this scales linearly with no shuffle at all (the _spread guard only
     fires on under-split test inputs).
+
+    Round-7: computed inside mapInPandas (guide §4.2 — Catalyst's
+    higher-order transform/array_min chain is CodegenFallback, i.e.
+    interpreted per element; hashing the shingles in the Python worker
+    with hashlib is several times faster and the boundary carries only
+    (doc_id, text)). Values are bit-identical: md5 hex of the same
+    UTF-8 bytes, lexicographic min == array_min on strings, and the
+    <shingle_n-words fallback hashes "j:text" exactly as before.
     """
-    sh = add_shingles(_spread(docs), shingle_n)
+    import hashlib
+    from collections.abc import Iterator
 
-    def _hasher(j: int):
-        # NB: a 2-arg lambda would make pyspark pass the array index as the
-        # second argument — capture the permutation id via closure instead
-        return lambda s: F.md5(F.concat_ws(":", F.lit(str(j)), s))
+    import pandas as pd
 
-    cols = [
-        F.coalesce(
-            F.array_min(F.transform("shingles", _hasher(j))),
-            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("text"))),
-        ).alias(f"mh{j}")
-        for j in range(k)
-    ]
-    return sh.select("doc_id", *cols)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = ", ".join([f"doc_id {id_type}"] + [f"mh{j} string" for j in range(k)])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": pdf["doc_id"].tolist()}
+            cols: list[list] = [[] for _ in range(k)]
+            for text in pdf["text"].tolist():
+                if text is None:
+                    for j in range(k):
+                        cols[j].append(None)
+                    continue
+                words = text.split(" ")
+                if len(words) >= shingle_n:
+                    shingles = [
+                        " ".join(words[i : i + shingle_n])
+                        for i in range(len(words) - shingle_n + 1)
+                    ]
+                    for j in range(k):
+                        p = f"{j}:".encode()
+                        cols[j].append(
+                            min(md5(p + s.encode()).hexdigest() for s in shingles)
+                        )
+                else:
+                    for j in range(k):
+                        cols[j].append(md5(f"{j}:{text}".encode()).hexdigest())
+            for j in range(k):
+                out[f"mh{j}"] = cols[j]
+            yield pd.DataFrame(out)
+
+    return _spread(docs).select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def minhash_band_buckets(docs: DataFrame, k: int = 4, band_chars: int = 2) -> DataFrame:
@@ -147,32 +177,47 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     like the exploded sum did, and s_b = 2*c_b - n where c_b counts
     words with bit b set.
     """
-    wh = F.transform(
-        _words(),
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-    )
-    # explode() dropped docs whose words array was NULL/empty (only
-    # possible for NULL text); keep that exact contract
-    hashed = (
-        _spread(docs)
-        .select("doc_id", wh.alias("_wh"))
-        .filter(F.size("_wh") > 0)
-    )
-    n_words = F.size("_wh")
+    # Round-7 second pass: the per-bit aggregate() folds were still
+    # interpreted (CodegenFallback) at bits x words ops per doc; the
+    # same reduction runs vectorized in NumPy inside mapInPandas
+    # (guide §4.2). Word hash = first 32 bits of md5 big-endian ==
+    # conv(substring(md5_hex, 1, 8), 16, 10); bit b of the simhash is
+    # set iff 2*(#words with bit b set) > #words — identical values.
+    # explode() dropped docs with NULL text; the None-skip keeps that
+    # exact contract.
+    import hashlib
+    from collections.abc import Iterator
 
-    def _bit_count(b: int):
-        # c_b = #words with bit b set; sign(s_b) == (2*c_b > n)
-        return F.aggregate(
-            F.col("_wh"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
+    import numpy as np
+    import pandas as pd
 
-    sim = None
-    for b in range(bits):
-        term = F.when(_bit_count(b) * 2 > n_words, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return hashed.select("doc_id", sim.cast("long").alias("simhash"))
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, simhash bigint"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        for pdf in batches:
+            ids = []
+            sims = []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                if text is None:
+                    continue
+                words = text.split(" ")
+                wh = np.fromiter(
+                    (
+                        int.from_bytes(md5(w.encode()).digest()[:4], "big")
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                c = ((wh[:, None] >> np.arange(bits)) & 1).sum(axis=0)
+                ids.append(doc_id)
+                sims.append(int(((2 * c > len(words)) * weights).sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": pd.array(sims, dtype="Int64")})
+
+    return _spread(docs).select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def jaccard_candidates(
@@ -323,51 +368,62 @@ def minhash_signatures_fast(
     ROLLING shingle hashes — one md5 per WORD (not per shingle, and
     never k per shingle like minhash_signatures, which stays as the
     didactic exact-mirror form), then per-shingle polynomial combine
-    and k multiply-add-mod permutations, all pure arithmetic inside one
-    codegen'd projection. The word-hash array is materialized in its
-    own projection first so codegen computes each digest once (the
-    add_shingles CSE lesson). Docs with < shingle_n words fall back to
-    the full-text hash. Pure projection: zero shuffle."""
+    and k multiply-add-mod permutations. Docs with < shingle_n words
+    fall back to the full-text hash. Map-only: zero shuffle.
+
+    Round-7: the arithmetic runs vectorized in NumPy inside mapInPandas
+    (guide §4.2) — the previous Column-algebra form was a chain of
+    interpreted higher-order functions (CodegenFallback) costing ~2ms
+    per doc; int64 never overflows (words are 28-bit, multipliers
+    < 2^29, so every product stays under 2^60) and the mod/min algebra
+    is identical, so signatures are bit-identical (oracle-pinned)."""
     if k > len(MH_A):
         raise ValueError(f"k={k} exceeds the {len(MH_A)} fixed permutations")
     if shingle_n != 3:
         raise ValueError("rolling combine is unrolled for shingle_n=3")
-    w = _spread(docs).select(
-        "doc_id",
-        "text",
-        F.transform(_words(), lambda x: _mh_base_hash(x)).alias("_wh"),
-    )
-    size = F.size("_wh")
+    import hashlib
+    from collections.abc import Iterator
 
-    def _roll(i):
-        return (
-            F.element_at("_wh", i.cast("int")) * F.lit(MH_P2)
-            + F.element_at("_wh", (i + 1).cast("int")) * F.lit(MH_P1)
-            + F.element_at("_wh", (i + 2).cast("int"))
-        ) % F.lit(MH_PRIME)
+    import numpy as np
+    import pandas as pd
 
-    hs = F.when(
-        size >= 3, F.transform(F.sequence(F.lit(1), size - 2), _roll)
-    ).otherwise(F.array().cast("array<long>"))
-    hashed = w.select(
-        "doc_id",
-        hs.alias("_hs"),
-        _mh_base_hash(F.col("text")).alias("_ht"),
-    )
-    def _affine(j: int):
-        # NB: a 2-arg lambda would make pyspark pass the array index as
-        # the second argument — capture the permutation id via closure
-        a, b = MH_A[j], MH_B[j]
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    schema = ", ".join([f"doc_id {id_type}"] + [f"mh{j} bigint" for j in range(k)])
 
-    cols = [
-        F.coalesce(
-            F.array_min(F.transform("_hs", _affine(j))),
-            _affine(j)(F.col("_ht")),
-        ).alias(f"mh{j}")
-        for j in range(k)
-    ]
-    return hashed.select("doc_id", *cols)
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        A = np.array(MH_A[:k], dtype=np.int64)[:, None]
+        B = np.array(MH_B[:k], dtype=np.int64)[:, None]
+        for pdf in batches:
+            cols = [[] for _ in range(k)]
+            for text in pdf["text"].tolist():
+                if text is None:
+                    for j in range(k):
+                        cols[j].append(None)
+                    continue
+                words = text.split(" ")
+                if len(words) >= 3:
+                    wh = np.fromiter(
+                        (
+                            int.from_bytes(md5(w.encode()).digest()[:4], "big") >> 4
+                            for w in words
+                        ),
+                        dtype=np.int64,
+                        count=len(words),
+                    )
+                    hs = (wh[:-2] * MH_P2 + wh[1:-1] * MH_P1 + wh[2:]) % MH_PRIME
+                    mins = ((A * hs[None, :] + B) % MH_PRIME).min(axis=1)
+                else:
+                    ht = int.from_bytes(md5(text.encode()).digest()[:4], "big") >> 4
+                    mins = (A[:, 0] * ht + B[:, 0]) % MH_PRIME
+                for j in range(k):
+                    cols[j].append(int(mins[j]))
+            out = {"doc_id": pdf["doc_id"].tolist()}
+            for j in range(k):
+                out[f"mh{j}"] = pd.array(cols[j], dtype="Int64")
+            yield pd.DataFrame(out)
+
+    return _spread(docs).select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def minhash_candidate_pairs(
