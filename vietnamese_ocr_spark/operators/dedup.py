@@ -503,9 +503,17 @@ def verify_jaccard_pairs(
         .distinct()
     )
     # semi-join BEFORE shingling: only candidate docs pay the shingle
-    # transform + distinct shuffle. At 100 TB candidates are a small
-    # fraction of the corpus, so this is the difference between
-    # re-scanning everything and touching just the suspects.
+    # transform. At 100 TB candidates are a small fraction of the
+    # corpus, so this is the difference between re-scanning everything
+    # and touching just the suspects.
+    #
+    # Round-7 restructure: each pair pulls its two docs' DISTINCT
+    # shingle-digest ARRAYS (two |pairs|-row joins) and the exact
+    # intersection is size(array_intersect(...)) inside one projection —
+    # no shingle explode, no (pair x shingle) join, no groupBy. The
+    # arrays are md5 digests (16 bytes/shingle), so a pair row carries
+    # ~2 x set-size x 16B, and |pairs| after banding is the true
+    # near-dup mass, tiny next to the corpus.
     sh_docs = _persist_tracked(
         add_shingles(_spread(docs.join(cand_docs, "doc_id", "left_semi")), shingle_n)
         .select(
@@ -514,27 +522,18 @@ def verify_jaccard_pairs(
                 F.array_distinct("shingles"), lambda s: F.unhex(F.md5(s))
             ).alias("sarr"),
         )
-    )  # consumed by sizes and both pair sides; per-doc dedup is
-    # array_distinct in the projection (no distinct exchange) and
-    # shingle identity travels as the 16-byte md5 digest, never the raw
-    # text (round-7, same convention as jaccard_candidates)
-    sh = sh_docs.select("doc_id", F.explode("sarr").alias("s"))
-    sizes = sh_docs.select("doc_id", F.size("sarr").alias("sz"))
-    sha = sh.select(F.col("doc_id").alias("da"), "s")
-    shb = sh.select(F.col("doc_id").alias("db"), "s")
-    inter = (
-        pairs.join(sha, "da")
-        .join(shb, ["db", "s"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("inter"))
-    )
-    sza = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
-    szb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
-    ratio = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    )  # consumed by both pair sides
+    a = sh_docs.select(F.col("doc_id").alias("da"), F.col("sarr").alias("_sa"))
+    b = sh_docs.select(F.col("doc_id").alias("db"), F.col("sarr").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    ratio = inter / (F.size("_sa") + F.size("_sb") - inter)
     return (
-        inter.join(F.broadcast(sza), "da")
-        .join(F.broadcast(szb), "db")
-        .filter(ratio >= threshold)
+        pairs.join(a, "da")
+        .join(b, "db")
+        # inter > 0 mirrors the old inner join on shared shingles: a
+        # pair with an empty intersection never surfaced there, even at
+        # threshold 0.0
+        .filter((inter > 0) & (ratio >= threshold))
         .select("da", "db", F.round(ratio, 6).alias("jaccard"))
     )
 
