@@ -194,6 +194,11 @@ def _dequantize_plane(zzcoef: np.ndarray, qtab: np.ndarray, bh: int, bw: int) ->
 # -- bit IO -------------------------------------------------------------------
 
 class _BitWriter:
+    """Round-7: bits accumulate in one medium-sized int and whole bytes
+    flush in bulk (to_bytes + bytes.replace for the 0xFF stuffing)
+    instead of a per-byte Python loop — the entropy coder's hottest
+    primitive (~300k calls per progressive image)."""
+
     def __init__(self) -> None:
         self.buf = bytearray()
         self.acc = 0
@@ -204,17 +209,22 @@ class _BitWriter:
             return
         self.acc = (self.acc << length) | (value & ((1 << length) - 1))
         self.n += length
-        while self.n >= 8:
-            byte = (self.acc >> (self.n - 8)) & 0xFF
-            self.n -= 8
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.buf.append(0x00)
-        self.acc &= (1 << self.n) - 1
+        if self.n >= 256:
+            self._drain()
+
+    def _drain(self) -> None:
+        keep = self.n & 7
+        nbytes = (self.n - keep) >> 3
+        chunk = (self.acc >> keep).to_bytes(nbytes, "big")
+        self.buf += chunk.replace(b"\xff", b"\xff\x00")  # byte stuffing
+        self.acc &= (1 << keep) - 1
+        self.n = keep
 
     def flush(self) -> bytes:
+        if self.n & 7:
+            self.put(0x7F, 8 - (self.n & 7))  # pad with 1-bits
         if self.n:
-            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+            self._drain()
         return bytes(self.buf)
 
 
@@ -299,10 +309,16 @@ class _BitReader:
             raise ValueError("truncated JPEG entropy data")
 
     def receive(self, length: int) -> int:
+        # consume() inlined (round-7): this runs a few hundred thousand
+        # times per progressive image
         while self.n < length:
             self._fill()
-        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
-        self.consume(length)
+        self.n -= length
+        v = (self.acc >> self.n) & ((1 << length) - 1)
+        self.acc &= (1 << self.n) - 1
+        self.limit -= length
+        if self.limit < 0:
+            raise ValueError("truncated JPEG entropy data")
         return v
 
 
@@ -329,19 +345,21 @@ def _decode_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> np.ndarray:
     return lut
 
 
-_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], np.ndarray] = {}
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], list[int]] = {}
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> np.ndarray:
+def _decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    # stored as a plain Python list (round-7): list indexing skips the
+    # numpy-scalar box/unbox on every decoded symbol
     key = (tuple(bits), tuple(vals))
     lut = _LUT_CACHE.get(key)
     if lut is None:
-        lut = _LUT_CACHE[key] = _decode_lut(*key)
+        lut = _LUT_CACHE[key] = _decode_lut(*key).tolist()
     return lut
 
 
-def _huff_decode(br: _BitReader, lut: np.ndarray) -> int:
-    e = int(lut[br.peek16()])
+def _huff_decode(br: _BitReader, lut: list[int]) -> int:
+    e = lut[br.peek16()]
     if e == 0:
         raise ValueError("invalid Huffman code")
     br.consume(e >> 8)
