@@ -677,41 +677,52 @@ def _inverse_predictor(
                 acc = np.add.accumulate(p8[seg], axis=0, dtype=np.uint8)
                 o8[seg] = acc + o8[x - 1]
             elif mode == 11:
+                # scalar walk on Python lists (numpy scalar indexing is
+                # ~10x the cost of a list element); run-skips copy the
+                # previous row wholesale via slice assignment
                 if nz is None:
-                    nz = np.flatnonzero(p_pk != 0)
+                    p_l = p_pk.tolist()
+                    prev_l = prev_pk.tolist()
+                    nz = True
+                o_l = o_pk.tolist()
+                left = o_l[x - 1]
                 xx = x
                 while xx < tile_end:
-                    if p_pk[xx] == 0 and o_pk[xx - 1] == prev_pk[xx - 1]:
+                    pv = p_l[xx]
+                    if pv == 0 and left == prev_l[xx - 1]:
                         # select picks TOP (l == tl makes d <= 0) and the
                         # residual is 0, so out == prev; the invariant
                         # out[x] == prev[x] then carries the whole run
-                        j = np.searchsorted(nz, xx)
-                        e = int(nz[j]) if j < len(nz) else tw
-                        e = min(e, tile_end)
-                        o_pk[xx:e] = prev_pk[xx:e]
+                        e = xx
+                        while e < tile_end and p_l[e] == 0:
+                            e += 1
+                        o_l[xx:e] = prev_l[xx:e]
                         xx = e
+                        left = o_l[xx - 1]
                         continue
-                    l = int(o_pk[xx - 1])
-                    tp = int(prev_pk[xx])
-                    tl = int(prev_pk[xx - 1])
+                    tp = prev_l[xx]
+                    tl = prev_l[xx - 1]
                     d = 0
                     for sh in (24, 16, 8, 0):
                         tc = (tp >> sh) & 255
-                        lc = (l >> sh) & 255
+                        lc = (left >> sh) & 255
                         cc = (tl >> sh) & 255
                         d += abs(lc - cc) - abs(tc - cc)
-                    pred = tp if d <= 0 else l
-                    o_pk[xx] = _add_px(int(p_pk[xx]), pred)
+                    left = _add_px(pv, tp if d <= 0 else left)
+                    o_l[xx] = left
                     xx += 1
+                o_pk[x:tile_end] = o_l[x:tile_end]
             else:  # left-dependent modes 5/6/7/10/12/13: exact scalar
+                p_l = p_pk.tolist()
+                prev_l = prev_pk.tolist()
+                o_l = o_pk.tolist()
                 for xx in range(x, tile_end):
-                    l = int(o_pk[xx - 1])
-                    tp = int(prev_pk[xx])
-                    tl = int(prev_pk[xx - 1])
-                    tr = int(o_pk[0]) if xx == tw - 1 else int(prev_pk[xx + 1])
-                    o_pk[xx] = _add_px(
-                        int(p_pk[xx]), _predict(mode, l, tp, tr, tl)
-                    )
+                    l = o_l[xx - 1]
+                    tp = prev_l[xx]
+                    tl = prev_l[xx - 1]
+                    tr = o_l[0] if xx == tw - 1 else prev_l[xx + 1]
+                    o_l[xx] = _add_px(p_l[xx], _predict(mode, l, tp, tr, tl))
+                o_pk[x:tile_end] = o_l[x:tile_end]
             x = tile_end
     return out_pk.reshape(-1)
 
