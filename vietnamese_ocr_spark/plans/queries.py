@@ -44,8 +44,14 @@ def _dsum(col, scale: int = 2):
 
 
 def q_vocab_build(spark, sf):  # A1 + O1: distinct chars -> sorted -> ids from 3
+    from ..operators.dedup import _spread
+
+    # round-7: the single-file documents scan yields 2 input splits, so
+    # the char explode+partial-distinct ran on 2 of 32 cores; the
+    # file-count-guarded respread (no-op on real many-file tables)
+    # parallelizes it. distinct/sort output unchanged.
     chars = (
-        t(spark, sf, "documents")
+        _spread(t(spark, sf, "documents").select("text"))
         .select(F.explode(F.split("text", "")).alias("ch"))
         .filter(F.col("ch") != "")
         .distinct()
