@@ -103,6 +103,10 @@ def _f80_encode(rate: int) -> bytes:
 
 def _f80_decode(b: bytes) -> int:
     se, mant = struct.unpack(">HQ", b[:10])
+    if se & 0x8000:  # round-7 advice fix: a negative sample rate must
+        # quarantine, not decode to a positive value that passes the
+        # rate sanity check
+        raise ValueError("negative AIFF sample rate")
     exp = se & 0x7FFF
     if mant == 0:
         return 0

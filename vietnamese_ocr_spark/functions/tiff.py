@@ -201,7 +201,16 @@ def tiff_encode(
         if compression == "lzw":
             strips.append(_lzw_encode(raw))
         elif compression == "packbits":
-            strips.append(_packbits_encode(raw))
+            # TIFF 6.0 §9: each row compresses separately — runs must
+            # not span row boundaries (round-7 advice fix; strict
+            # external decoders reject spanning runs)
+            row_bytes = w * spp
+            strips.append(
+                b"".join(
+                    _packbits_encode(raw[r : r + row_bytes])
+                    for r in range(0, len(raw), row_bytes)
+                )
+            )
         else:
             strips.append(raw)
 

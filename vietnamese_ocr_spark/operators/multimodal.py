@@ -372,7 +372,10 @@ def avi_mjpeg_frames(payload: bytes) -> list[bytes]:
                 raise ValueError("truncated AVI chunk")
             if tag == b"LIST":
                 walk(pos + 12, body_end)  # skip the 4-byte list type
-            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+            elif tag[2:4] in (b"dc", b"db") and all(
+                c in b"0123456789ABCDEFabcdef" for c in tag[:2]
+            ):  # stream ids are two HEX digits (round-7 advice fix:
+                # streams >= 0x0A, e.g. '0Adc', were silently skipped)
                 frame = payload[pos + 8 : body_end]
                 if frame[:2] == b"\xff\xd8":
                     frames.append(frame)

@@ -87,6 +87,24 @@ def parse_warc(data: bytes) -> list[dict]:
     return out
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked (RFC 9112 §7.1). Malformed chunk
+    framing raises, which the caller maps to decode_ok=false."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.index(b"\r\n", pos)
+        size = int(body[pos:nl].split(b";")[0], 16)
+        pos = nl + 2
+        if size == 0:
+            break  # terminal chunk; trailers (if any) are dropped
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("bad HTTP chunk terminator")
+        pos += size + 2
+    return bytes(out)
+
+
 def _http_body(payload: bytes) -> tuple[int, str, bytes]:
     """Split an HTTP response payload: (status, content-type, body)."""
     if not payload.startswith(b"HTTP/"):
@@ -99,6 +117,7 @@ def _http_body(payload: bytes) -> tuple[int, str, bytes]:
         status = 0
     ctype = ""
     gzipped = False
+    chunked = False
     for line in lines[1:]:
         k, sep, v = line.partition(b":")
         if not sep:
@@ -108,6 +127,10 @@ def _http_body(payload: bytes) -> tuple[int, str, bytes]:
             ctype = v.strip().decode("latin-1")
         elif key == b"content-encoding" and b"gzip" in v.lower():
             gzipped = True
+        elif key == b"transfer-encoding" and b"chunked" in v.lower():
+            chunked = True
+    if chunked:  # transfer coding wraps content coding: undo it first
+        body = _dechunk(body)
     if gzipped:
         body = gzip.decompress(body)
     return status, ctype, body
@@ -252,7 +275,12 @@ def url_normalize(col):
         F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/]*)", 1)),
         F.regexp_replace(u, r"^[a-zA-Z]+://[^/]*", ""),
     )
-    u = F.regexp_replace(u, r"^(https?://[^/:]+):(80|443)(/|$)", r"$1$3")
+    # scheme-conditioned default-port strip (round-7 advice fix): :80 is
+    # default only for http and :443 only for https — http://h:443/x and
+    # http://h/x are DIFFERENT resources and must not collide in the
+    # crawl-dedup key
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https?://[^/?]+)/$", r"$1")
     return u
 
