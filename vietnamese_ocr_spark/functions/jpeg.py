@@ -382,52 +382,67 @@ _PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0
 _PROG_AC = (_PROG_AC_BITS, _PROG_AC_SYMS)
 
 
-def _encode_block(zz: np.ndarray, pred: int, dc: dict, ac: dict, bw: _BitWriter) -> int:
-    diff = int(zz[0]) - pred
-    s = abs(diff).bit_length()
-    code, length = dc[s]
-    bw.put(code, length)
-    if s:
-        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = 0
-    nz = np.nonzero(zz[1:])[0]
-    last_nz = nz[-1] + 1 if len(nz) else 0
-    for k in range(1, last_nz + 1):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac[0xF0]  # ZRL
-            bw.put(code, length)
-            run -= 16
-        s = abs(v).bit_length()
-        code, length = ac[(run << 4) | s]
-        bw.put(code, length)
-        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    if last_nz < 63:
-        code, length = ac[0x00]  # EOB
-        bw.put(code, length)
-    return int(zz[0])
+def _scan_enc_baseline(blocks, tables, bw: _BitWriter) -> None:
+    """Encode one baseline restart segment: `blocks` is the flattened
+    (block, component) sequence in MCU order. Writer accumulator and DC
+    predictors live in locals for the whole segment (round-7 second
+    pass); only nonzero AC coefficients are visited. Bits identical to
+    the per-block/per-coefficient form."""
+    buf = bw.buf
+    acc = bw.acc
+    n = bw.n
+    preds = [0, 0, 0]
+    for block, ci in blocks:
+        dc, ac = tables[ci]
+        bl = block.tolist()
+        v0 = bl[0]
+        diff = v0 - preds[ci]
+        preds[ci] = v0
+        s = abs(diff).bit_length()
+        code, ln = dc[s]
+        if s:
+            acc = (acc << (ln + s)) | (code << s) | (
+                diff if diff >= 0 else diff + (1 << s) - 1
+            )
+            n += ln + s
+        else:
+            acc = (acc << ln) | code
+            n += ln
+        nz = np.flatnonzero(block[1:])
+        prev = 0
+        for idx in nz.tolist():
+            k = idx + 1
+            r = k - prev - 1
+            while r > 15:
+                code, ln = ac[0xF0]  # ZRL
+                acc = (acc << ln) | code
+                n += ln
+                r -= 16
+            v = bl[k]
+            s = abs(v).bit_length()
+            code, ln = ac[(r << 4) | s]
+            acc = (acc << (ln + s)) | (code << s) | (
+                v if v >= 0 else v + (1 << s) - 1
+            )
+            n += ln + s
+            prev = k
+        if prev < 63:
+            code, ln = ac[0x00]  # EOB
+            acc = (acc << ln) | code
+            n += ln
+        if n >= 256:
+            keep = n & 7
+            nbytes = (n - keep) >> 3
+            buf += ((acc >> keep).to_bytes(nbytes, "big")).replace(
+                b"\xff", b"\xff\x00"
+            )
+            acc &= (1 << keep) - 1
+            n = keep
+    bw.acc = acc
+    bw.n = n
 
 
 # -- progressive scan encoders (T.81 G.1.2, the libjpeg algorithms) ----------
-
-def _enc_flush_eobrun(state: dict, ac: dict, bw: _BitWriter) -> None:
-    e = state["eobrun"]
-    if e:
-        r = e.bit_length() - 1
-        code, length = ac[r << 4]
-        bw.put(code, length)
-        if r:
-            bw.put(e - (1 << r), r)
-        for bit in state["be_bits"]:  # correction bits saved with the run
-            bw.put(bit, 1)
-        state["eobrun"] = 0
-        state["be_bits"] = []
-
 
 def _enc_dc_first(block: np.ndarray, pred: int, dc: dict, al: int,
                   bw: _BitWriter) -> int:
@@ -441,49 +456,87 @@ def _enc_dc_first(block: np.ndarray, pred: int, dc: dict, al: int,
     return v
 
 
-def _enc_ac_first(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
-                  bw: _BitWriter, state: dict) -> None:
-    # round-7: the per-coefficient loop visits only the nonzeros (numpy
-    # finds them); all-zero blocks — the overwhelming majority on text
-    # images — take the one-increment fast path. Emitted bits identical.
-    raw = block[ss : se + 1]
-    if not raw.any():  # all-zero band: one eobrun increment, no numpy
-        state["eobrun"] += 1
-        if state["eobrun"] == 0x7FFF:
-            _enc_flush_eobrun(state, ac, bw)
-        return
-    blk = np.asarray(raw, dtype=np.int64)
-    t_all = np.where(blk >= 0, blk >> al, -((-blk) >> al))
-    nz = np.flatnonzero(t_all)
-    if len(nz) == 0:
-        state["eobrun"] += 1
-        if state["eobrun"] == 0x7FFF:
-            _enc_flush_eobrun(state, ac, bw)
-        return
-    _enc_flush_eobrun(state, ac, bw)
-    tl = t_all.tolist()
-    prev = -1
-    for idx in nz.tolist():
-        r = idx - prev - 1
-        while r > 15:
-            code, length = ac[0xF0]
-            bw.put(code, length)
-            r -= 16
-        t = tl[idx]
-        s = abs(t).bit_length()
-        code, length = ac[(r << 4) | s]
-        bw.put(code, length)
-        bw.put(t if t >= 0 else t + (1 << s) - 1, s)
-        prev = idx
-    if prev < se - ss:  # trailing zero run folds into an EOB
-        state["eobrun"] += 1
-        if state["eobrun"] == 0x7FFF:
-            _enc_flush_eobrun(state, ac, bw)
+def _scan_enc_ac_first(blocks, ss: int, se: int, al: int, ac: dict,
+                       bw: _BitWriter) -> None:
+    """Whole-scan progressive AC-first encoder: the bit writer's
+    accumulator and the EOB run live in locals across every block of the
+    scan (round-7 second pass — put() call overhead was a third of the
+    encode wall). Emitted bits identical to the per-block form."""
+    buf = bw.buf
+    acc = bw.acc
+    n = bw.n
+    eobrun = 0
+    span = se - ss
+
+    def flush_eob():
+        nonlocal acc, n, eobrun
+        rr = eobrun.bit_length() - 1
+        code, ln = ac[rr << 4]
+        acc = (acc << ln) | code
+        n += ln
+        if rr:
+            acc = (acc << rr) | (eobrun - (1 << rr))
+            n += rr
+        eobrun = 0
+
+    for block in blocks:
+        raw = block[ss : se + 1]
+        if not raw.any():  # all-zero band: one eobrun increment, no numpy
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        blk = np.asarray(raw, dtype=np.int64)
+        t_all = np.where(blk >= 0, blk >> al, -((-blk) >> al))
+        nz = np.flatnonzero(t_all)
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        if eobrun:
+            flush_eob()
+        tl = t_all.tolist()
+        prev = -1
+        for idx in nz.tolist():
+            r = idx - prev - 1
+            while r > 15:
+                code, ln = ac[0xF0]  # ZRL
+                acc = (acc << ln) | code
+                n += ln
+                r -= 16
+            t = tl[idx]
+            s = abs(t).bit_length()
+            code, ln = ac[(r << 4) | s]
+            acc = (acc << (ln + s)) | (code << s) | (
+                t if t >= 0 else t + (1 << s) - 1
+            )
+            n += ln + s
+            if n >= 256:
+                keep = n & 7
+                nbytes = (n - keep) >> 3
+                buf += ((acc >> keep).to_bytes(nbytes, "big")).replace(
+                    b"\xff", b"\xff\x00"
+                )
+                acc &= (1 << keep) - 1
+                n = keep
+            prev = idx
+        if prev < span:  # trailing zero run folds into an EOB
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    if eobrun:
+        flush_eob()
+    bw.acc = acc
+    bw.n = n
+    if bw.n >= 256:
+        bw._drain()
 
 
-def _enc_ac_refine(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
-                   bw: _BitWriter, state: dict) -> None:
-    """libjpeg encode_mcu_AC_refine (T.81 G.1.2.3 fig. G.7), exactly:
+def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
+                        bw: _BitWriter) -> None:
+    """Whole-scan progressive AC-refine encoder (libjpeg
+    encode_mcu_AC_refine, T.81 G.1.2.3 fig. G.7), exactly:
     already-significant coefficients emit one correction bit, buffered
     until the next symbol (or saved with a pending EOB run); newly-
     significant ones emit (run<<4)|1 + sign. ZRLs are emitted AT the
@@ -491,59 +544,121 @@ def _enc_ac_refine(block: np.ndarray, ss: int, se: int, al: int, ac: dict,
     coefficient's correction bit — and only while another newly-
     significant coefficient is still coming (k <= EOB); a trailing run
     folds into the EOB instead. Getting this ordering wrong desyncs the
-    decoder's correction-bit stream (found the hard way)."""
-    # round-7: numpy finds the nonzero coefficients; the Python loop
-    # visits only those (zeros between them become run counts), and
-    # all-zero blocks take the one-increment fast path. Bit-identical.
-    raw = block[ss : se + 1]
-    if not raw.any():  # all-zero band: one eobrun increment, no numpy
-        state["eobrun"] += 1
-        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
-            _enc_flush_eobrun(state, ac, bw)
-        return
-    blk = np.abs(np.asarray(raw, dtype=np.int64)) >> al
-    nzl = np.flatnonzero(blk)
-    if len(nzl) == 0:
-        state["eobrun"] += 1
-        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
-            _enc_flush_eobrun(state, ac, bw)
-        return
-    ones = np.flatnonzero(blk == 1)
-    eob_pos = ss + int(ones[-1]) if len(ones) else ss - 1
-    absv = blk.tolist()
-    br_bits: list[int] = []
-    r = 0
-    prev = ss - 1
-    for idx in nzl.tolist():
-        k = ss + idx
-        r += k - prev - 1  # zeros skipped since the previous nonzero
-        prev = k
-        t = absv[idx]
-        while r > 15 and k <= eob_pos:
-            _enc_flush_eobrun(state, ac, bw)
-            code, length = ac[0xF0]
-            bw.put(code, length)
-            r -= 16
-            for bit in br_bits:
-                bw.put(bit, 1)
-            br_bits = []
-        if t > 1:  # already significant at this precision
-            br_bits.append(t & 1)
+    decoder's correction-bit stream (found the hard way). Round-7 second
+    pass: bit writer, EOB run and pending correction bits live in locals
+    across the whole scan; emitted bits identical."""
+    buf = bw.buf
+    acc = bw.acc
+    n = bw.n
+    eobrun = 0
+    be_bits: list[int] = []
+    span = se - ss
+
+    def flush_eob():
+        nonlocal acc, n, eobrun, be_bits, buf
+        rr = eobrun.bit_length() - 1
+        code, ln = ac[rr << 4]
+        acc = (acc << ln) | code
+        n += ln
+        if rr:
+            acc = (acc << rr) | (eobrun - (1 << rr))
+            n += rr
+        nb = len(be_bits)
+        if nb:
+            v = 0
+            for bit in be_bits:
+                v = (v << 1) | bit
+            acc = (acc << nb) | v
+            n += nb
+            be_bits = []
+        eobrun = 0
+        if n >= 256:
+            keep = n & 7
+            nbytes = (n - keep) >> 3
+            buf += ((acc >> keep).to_bytes(nbytes, "big")).replace(
+                b"\xff", b"\xff\x00"
+            )
+            acc &= (1 << keep) - 1
+            n = keep
+
+    for block in blocks:
+        raw = block[ss : se + 1]
+        if not raw.any():  # all-zero band: one eobrun increment, no numpy
+            eobrun += 1
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eob()
             continue
-        _enc_flush_eobrun(state, ac, bw)
-        code, length = ac[(r << 4) | 1]
-        bw.put(code, length)
-        bw.put(1 if int(block[k]) >= 0 else 0, 1)
-        for bit in br_bits:
-            bw.put(bit, 1)
-        br_bits = []
+        blk = np.abs(np.asarray(raw, dtype=np.int64)) >> al
+        nzl = np.flatnonzero(blk)
+        if len(nzl) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eob()
+            continue
+        ones = np.flatnonzero(blk == 1)
+        eob_pos = ss + int(ones[-1]) if len(ones) else ss - 1
+        absv = blk.tolist()
+        rawl = raw.tolist()
+        br_bits: list[int] = []
         r = 0
-    r += (se - ss) - (prev - ss)  # trailing zeros after the last nonzero
-    if r > 0 or br_bits:
-        state["eobrun"] += 1
-        state["be_bits"].extend(br_bits)
-        if state["eobrun"] == 0x7FFF or len(state["be_bits"]) > 900:
-            _enc_flush_eobrun(state, ac, bw)
+        prev = ss - 1
+        for idx in nzl.tolist():
+            k = ss + idx
+            r += k - prev - 1  # zeros skipped since the previous nonzero
+            prev = k
+            t = absv[idx]
+            while r > 15 and k <= eob_pos:
+                if eobrun:
+                    flush_eob()
+                code, ln = ac[0xF0]
+                acc = (acc << ln) | code
+                n += ln
+                r -= 16
+                for bit in br_bits:
+                    acc = (acc << 1) | bit
+                    n += 1
+                br_bits = []
+                if n >= 256:
+                    keep = n & 7
+                    nbytes = (n - keep) >> 3
+                    buf += ((acc >> keep).to_bytes(nbytes, "big")).replace(
+                        b"\xff", b"\xff\x00"
+                    )
+                    acc &= (1 << keep) - 1
+                    n = keep
+            if t > 1:  # already significant at this precision
+                br_bits.append(t & 1)
+                continue
+            if eobrun:
+                flush_eob()
+            code, ln = ac[(r << 4) | 1]
+            acc = (acc << (ln + 1)) | (code << 1) | (1 if rawl[idx] >= 0 else 0)
+            n += ln + 1
+            for bit in br_bits:
+                acc = (acc << 1) | bit
+                n += 1
+            br_bits = []
+            r = 0
+            if n >= 256:
+                keep = n & 7
+                nbytes = (n - keep) >> 3
+                buf += ((acc >> keep).to_bytes(nbytes, "big")).replace(
+                    b"\xff", b"\xff\x00"
+                )
+                acc &= (1 << keep) - 1
+                n = keep
+        r += span - (prev - ss)  # trailing zeros after the last nonzero
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF or len(be_bits) > 900:
+                flush_eob()
+    if eobrun:
+        flush_eob()
+    bw.acc = acc
+    bw.n = n
+    if bw.n >= 256:
+        bw._drain()
 
 
 def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -622,7 +737,6 @@ def _encode_progressive(arr, color, h, w, subsample, ql, qc) -> bytes:
             sos += bytes([info["cid"], (info["dc_id"] << 4) | info["ac_id"]])
         sos += bytes([ss, se, (ah << 4) | al])
         bw_w = _BitWriter()
-        state = {"eobrun": 0, "be_bits": []}
         if len(sel) > 1:  # interleaved DC scan: MCU order
             preds = [0] * len(sel)
             for m in range(mcux * mcuy):
@@ -644,20 +758,25 @@ def _encode_progressive(arr, color, h, w, subsample, ql, qc) -> bytes:
         else:  # non-interleaved: the component's own block grid
             ci = sel[0]
             info = comps_info[ci]
-            pred = 0
-            for u in range(info["eff_bw"] * info["eff_bh"]):
-                by, bx = divmod(u, info["eff_bw"])
-                block = info["zz"][by * info["store_bw"] + bx]
-                if ss == 0:
+            eff_bw, sbw = info["eff_bw"], info["store_bw"]
+            if ss > 0:
+                # AC scans: whole-scan encoders with the writer in locals
+                blocks = [
+                    info["zz"][(u // eff_bw) * sbw + (u % eff_bw)]
+                    for u in range(eff_bw * info["eff_bh"])
+                ]
+                if ah == 0:
+                    _scan_enc_ac_first(blocks, ss, se, al, prog_ac, bw_w)
+                else:
+                    _scan_enc_ac_refine(blocks, ss, se, al, prog_ac, bw_w)
+            else:
+                pred = 0
+                for u in range(eff_bw * info["eff_bh"]):
+                    block = info["zz"][(u // eff_bw) * sbw + (u % eff_bw)]
                     if ah == 0:
                         pred = _enc_dc_first(block, pred, info["dc_codes"], al, bw_w)
                     else:
                         bw_w.put((int(block[0]) >> al) & 1, 1)
-                elif ah == 0:
-                    _enc_ac_first(block, ss, se, al, prog_ac, bw_w, state)
-                else:
-                    _enc_ac_refine(block, ss, se, al, prog_ac, bw_w, state)
-            _enc_flush_eobrun(state, prog_ac, bw_w)
         chunks.append(
             b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos + bw_w.flush()
         )
@@ -800,46 +919,125 @@ def jpeg_encode(
         (_canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)),
         (_canonical_codes(*_DC_CHROMA), _canonical_codes(*_AC_CHROMA)),
     ]
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for m, mcu in enumerate(mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            out += bw.flush()
-            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
-            bw = _BitWriter()
-            preds = [0, 0, 0]
-        for block, ci in mcu:
-            dc, ac = tables[ci]
-            preds[ci] = _encode_block(block, preds[ci], dc, ac, bw)
-
-    out += bw.flush()
+    step = restart_interval if restart_interval else max(len(mcus), 1)
+    for seg_i in range(0, max(len(mcus), 1), step):
+        if seg_i:
+            out += bytes([0xFF, 0xD0 + ((seg_i // restart_interval - 1) % 8)])
+        bw = _BitWriter()
+        _scan_enc_baseline(
+            [bc for mcu in mcus[seg_i : seg_i + step] for bc in mcu],
+            tables, bw,
+        )
+        out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 # -- decoder ------------------------------------------------------------------
 
-def _decode_block(br: _BitReader, dc_tab: dict, ac_tab: dict, pred: int) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    s = _huff_decode(br, dc_tab)
-    diff = _extend(br.receive(s), s) if s else 0
-    pred += diff
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        sym = _huff_decode(br, ac_tab)
-        run, size = sym >> 4, sym & 0x0F
-        if size == 0:
-            if run == 15:
-                k += 16  # ZRL
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = _extend(br.receive(size), size)
-        k += 1
-    return zz, pred
+def _scan_dec_baseline(seq, segs, restart_interval, n_comps) -> None:
+    """Decode one baseline scan end to end. `seq` is the block sequence in
+    entropy-stream order: (si, dc_lut, ac_lut, block). The bit reader and
+    Huffman decode are held in LOCAL variables for the whole scan (round-7
+    second pass): the per-symbol cost was dominated by the
+    _huff_decode/receive/consume call chain, not by the bit math."""
+    data = segs[0]
+    pos = acc = n = 0
+    limit = 8 * len(data) + 16
+    preds = [0] * n_comps
+    for u, (si, dc_lut, ac_lut, block) in enumerate(seq):
+        if restart_interval and u and u % restart_interval == 0:
+            data = segs[u // restart_interval]
+            pos = acc = n = 0
+            limit = 8 * len(data) + 16
+            preds = [0] * n_comps
+        zz = [0] * 64
+        # DC: one Huffman symbol + EXTEND(receive(s), s)
+        while n < 16:
+            chunk = data[pos : pos + 8]
+            if chunk:
+                pos += len(chunk)
+                acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                n += 8 * len(chunk)
+            else:
+                acc = (acc << 8) | 0xFF
+                n += 8
+        e = dc_lut[(acc >> (n - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        ln = e >> 8
+        n -= ln
+        acc &= (1 << n) - 1
+        limit -= ln
+        if limit < 0:
+            raise ValueError("truncated JPEG entropy data")
+        s = e & 0xFF
+        if s:
+            while n < s:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    n += 8 * len(chunk)
+                else:
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+            n -= s
+            v = (acc >> n) & ((1 << s) - 1)
+            acc &= (1 << n) - 1
+            limit -= s
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            preds[si] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        zz[0] = preds[si]
+        k = 1
+        while k < 64:
+            while n < 16:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    n += 8 * len(chunk)
+                else:
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+            e = ac_lut[(acc >> (n - 16)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid Huffman code")
+            ln = e >> 8
+            n -= ln
+            acc &= (1 << n) - 1
+            limit -= ln
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            sym = e & 0xFF
+            size = sym & 0x0F
+            if size == 0:
+                if sym == 0xF0:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            while n < size:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    n += 8 * len(chunk)
+                else:
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+            n -= size
+            v = (acc >> n) & ((1 << size) - 1)
+            acc &= (1 << n) - 1
+            limit -= size
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            k += 1
+        block[:] = zz
 
 
 def _decode_one_scan(frame, scan_sel, ss, se, ah, al, segs, stores,
@@ -877,14 +1075,67 @@ def _decode_one_scan(frame, scan_sel, ss, se, ah, al, segs, stores,
             f"restart segment count {len(segs)} != expected {expected}"
         )
 
+    if prog and ss > 0:
+        # progressive AC scan: single-component (enforced above), so the
+        # block walk is a flat grid — decode the whole scan in one
+        # locals-bound loop (round-7 second pass)
+        ci0, _dct0, act0 = scan_sel[0]
+        _cid, hi, vi, _tq = comps[ci0]
+        row_w = mcux * hi
+        blocks = [
+            stores[ci0][(u // bw_eff) * row_w + (u % bw_eff)]
+            for u in range(n_units)
+        ]
+        lut = htables[(1, act0)]
+        if ah == 0:
+            _scan_dec_ac_first(blocks, segs, restart_interval, lut, ss, se, al)
+        else:
+            _scan_dec_ac_refine(blocks, segs, restart_interval, lut, ss, se, al)
+        return
+    if not prog:
+        # baseline scan: flatten the MCU walk into stream order once,
+        # then decode with the bit reader in locals for the whole scan
+        seq = []
+        for u in range(n_units):
+            for si, (ci, dct, act) in enumerate(scan_sel):
+                _cid, hi, vi, _tq = comps[ci]
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    for dy in range(vi):
+                        for dx in range(hi):
+                            seq.append((
+                                si,
+                                htables[(0, dct)],
+                                htables[(1, act)],
+                                stores[ci][
+                                    (my * vi + dy) * (mcux * hi) + (mx * hi + dx)
+                                ],
+                            ))
+                else:
+                    by, bx = divmod(u, bw_eff)
+                    seq.append((
+                        si,
+                        htables[(0, dct)],
+                        htables[(1, act)],
+                        stores[ci][by * (mcux * hi) + bx],
+                    ))
+        # restart boundaries are per-MCU; with one block per MCU entry the
+        # flat index matches u exactly when blocks-per-MCU == 1, otherwise
+        # scale the interval
+        per_unit = len(seq) // n_units if n_units else 1
+        _scan_dec_baseline(
+            seq, segs,
+            restart_interval * per_unit if restart_interval else 0,
+            len(scan_sel),
+        )
+        return
+
     br = _BitReader(segs[0])
     preds = [0] * len(scan_sel)
-    eob = [0]
     for u in range(n_units):
         if restart_interval and u and u % restart_interval == 0:
             br = _BitReader(segs[u // restart_interval])
             preds = [0] * len(scan_sel)
-            eob[0] = 0
         for si, (ci, dct, act) in enumerate(scan_sel):
             _cid, hi, vi, _tq = comps[ci]
             if interleaved:
@@ -898,22 +1149,12 @@ def _decode_one_scan(frame, scan_sel, ss, se, ah, al, segs, stores,
                 by, bx = divmod(u, bw_eff)
                 blocks = [stores[ci][by * (mcux * hi) + bx]]
             for block in blocks:
-                if not prog:
-                    zz, preds[si] = _decode_block(
-                        br, htables[(0, dct)], htables[(1, act)], preds[si]
+                if ah == 0:
+                    preds[si] = _dec_dc_first(
+                        br, htables[(0, dct)], block, preds[si], al
                     )
-                    block[:] = zz
-                elif ss == 0:
-                    if ah == 0:
-                        preds[si] = _dec_dc_first(
-                            br, htables[(0, dct)], block, preds[si], al
-                        )
-                    else:
-                        _dec_dc_refine(br, block, al)
-                elif ah == 0:
-                    _dec_ac_first(br, htables[(1, act)], block, ss, se, al, eob)
                 else:
-                    _dec_ac_refine(br, htables[(1, act)], block, ss, se, al, eob)
+                    _dec_dc_refine(br, block, al)
 
 
 # -- progressive block decoders (T.81 G.1.2 / G.2) ---------------------------
@@ -932,83 +1173,250 @@ def _dec_dc_refine(br: _BitReader, block: np.ndarray, al: int) -> None:
         block[0] = int(block[0]) | (1 << al)
 
 
-def _dec_ac_first(br: _BitReader, ac_tab: np.ndarray, block: np.ndarray,
-                  ss: int, se: int, al: int, eob: list[int]) -> None:
-    if eob[0] > 0:
-        eob[0] -= 1
-        return
-    k = ss
-    while k <= se:
-        sym = _huff_decode(br, ac_tab)
-        r, s = sym >> 4, sym & 0x0F
-        if s == 0:
-            if r == 15:
-                k += 16  # ZRL
-                continue
-            eob[0] = (1 << r) - 1  # EOBn: this block + (run-1) more
-            if r:
-                eob[0] += br.receive(r)
-            break
-        k += r
-        if k > se:
-            raise ValueError("AC run past spectral band")
-        block[k] = _extend(br.receive(s), s) << al
-        k += 1
-
-
-def _dec_ac_refine(br: _BitReader, ac_tab: np.ndarray, block: np.ndarray,
-                   ss: int, se: int, al: int, eob: list[int]) -> None:
-    """T.81 G.1.2.3 (the libjpeg decode_mcu_AC_refine algorithm):
-    newly-significant coefficients arrive as ±2^Al; every already-
-    significant coefficient crossed on the way carries one correction
-    bit; EOB runs carry correction bits for the rest of the band."""
-    p1, m1 = 1 << al, -1 << al
-    k = ss
-    if eob[0] == 0:
+def _scan_dec_ac_first(blocks, segs, restart_interval, lut, ss, se, al) -> None:
+    """Whole-scan progressive AC-first decoder (T.81 G.2), bit reader and
+    EOB run in locals across every block of the scan (round-7 second
+    pass — the per-block/_huff_decode/receive call chain was >half the
+    decode wall on dense text images)."""
+    data = segs[0]
+    pos = acc = n = 0
+    limit = 8 * len(data) + 16
+    eob = 0
+    for u, block in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            data = segs[u // restart_interval]
+            pos = acc = n = 0
+            limit = 8 * len(data) + 16
+            eob = 0
+        if eob > 0:
+            eob -= 1
+            continue
+        k = ss
         while k <= se:
-            sym = _huff_decode(br, ac_tab)
-            r, s = sym >> 4, sym & 0x0F
-            val = 0
-            if s == 0:
-                if r < 15:
-                    eob[0] = 1 << r
-                    if r:
-                        eob[0] += br.receive(r)
-                    break
-                # r == 15 (ZRL): skip 16 zero-history coefficients below
-            else:
-                if s != 1:
-                    raise ValueError("bad AC refinement symbol")
-                val = p1 if br.receive(1) else m1
-            while k <= se:
-                c = int(block[k])
-                if c != 0:
-                    if br.receive(1) and (c & p1) == 0:
-                        block[k] = c + (p1 if c >= 0 else m1)
+            while n < 16:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    n += 8 * len(chunk)
                 else:
-                    if r == 0:
-                        break
-                    r -= 1
-                k += 1
-            if val and k <= se:
-                block[k] = val
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+            e = lut[(acc >> (n - 16)) & 0xFFFF]
+            if e == 0:
+                raise ValueError("invalid Huffman code")
+            ln = e >> 8
+            n -= ln
+            acc &= (1 << n) - 1
+            limit -= ln
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            sym = e & 0xFF
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eob = (1 << r) - 1  # EOBn: this block + (run-1) more
+                if r:
+                    while n < r:
+                        chunk = data[pos : pos + 8]
+                        if chunk:
+                            pos += len(chunk)
+                            acc = (acc << (8 * len(chunk))) | int.from_bytes(
+                                chunk, "big"
+                            )
+                            n += 8 * len(chunk)
+                        else:
+                            acc = (acc << 8) | 0xFF
+                            n += 8
+                    n -= r
+                    eob += (acc >> n) & ((1 << r) - 1)
+                    acc &= (1 << n) - 1
+                    limit -= r
+                    if limit < 0:
+                        raise ValueError("truncated JPEG entropy data")
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past spectral band")
+            while n < s:
+                chunk = data[pos : pos + 8]
+                if chunk:
+                    pos += len(chunk)
+                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                    n += 8 * len(chunk)
+                else:
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+            n -= s
+            v = (acc >> n) & ((1 << s) - 1)
+            acc &= (1 << n) - 1
+            limit -= s
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            block[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
             k += 1
-    if eob[0] > 0:
-        # round-7: the EOB-run tail reads exactly one correction bit per
-        # ALREADY-significant coefficient, regardless of bit values — so
-        # find the nonzeros with numpy, pull all their bits in one
-        # receive (MSB-first, same stream order), and update only those.
-        # All-zero tails (most blocks on text images) consume nothing.
-        nz = np.flatnonzero(block[k : se + 1])
-        m = len(nz)
-        if m:
-            bits_val = br.receive(m)
-            for i, kk in enumerate(nz.tolist()):
-                if (bits_val >> (m - 1 - i)) & 1:
-                    c = int(block[k + kk])
-                    if (c & p1) == 0:
-                        block[k + kk] = c + (p1 if c >= 0 else m1)
-        eob[0] -= 1
+
+
+def _scan_dec_ac_refine(blocks, segs, restart_interval, lut, ss, se, al) -> None:
+    """Whole-scan progressive AC-refine decoder (T.81 G.1.2.3, the
+    libjpeg decode_mcu_AC_refine algorithm): newly-significant
+    coefficients arrive as ±2^Al; every already-significant coefficient
+    crossed on the way carries one correction bit; EOB runs carry
+    correction bits for the rest of the band. Round-7 second pass: bit
+    reader in locals for the whole scan, and each block's band is
+    processed as a Python list (numpy scalar reads were ~10x a list
+    element) with one slice write-back only when something changed."""
+    p1, m1 = 1 << al, -1 << al
+    data = segs[0]
+    pos = acc = n = 0
+    limit = 8 * len(data) + 16
+    eob = 0
+    length = se - ss
+    for u, block in enumerate(blocks):
+        if restart_interval and u and u % restart_interval == 0:
+            data = segs[u // restart_interval]
+            pos = acc = n = 0
+            limit = 8 * len(data) + 16
+            eob = 0
+        band = block[ss : se + 1].tolist()
+        dirty = False
+        k = 0
+        if eob == 0:
+            while k <= length:
+                while n < 16:
+                    chunk = data[pos : pos + 8]
+                    if chunk:
+                        pos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(
+                            chunk, "big"
+                        )
+                        n += 8 * len(chunk)
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        n += 8
+                e = lut[(acc >> (n - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid Huffman code")
+                ln = e >> 8
+                n -= ln
+                acc &= (1 << n) - 1
+                limit -= ln
+                if limit < 0:
+                    raise ValueError("truncated JPEG entropy data")
+                sym = e & 0xFF
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        eob = 1 << r
+                        if r:
+                            while n < r:
+                                chunk = data[pos : pos + 8]
+                                if chunk:
+                                    pos += len(chunk)
+                                    acc = (acc << (8 * len(chunk))) | int.from_bytes(
+                                        chunk, "big"
+                                    )
+                                    n += 8 * len(chunk)
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                    n += 8
+                            n -= r
+                            eob += (acc >> n) & ((1 << r) - 1)
+                            acc &= (1 << n) - 1
+                            limit -= r
+                            if limit < 0:
+                                raise ValueError("truncated JPEG entropy data")
+                        break
+                    # r == 15 (ZRL): skip 16 zero-history coefficients below
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    if not n:
+                        chunk = data[pos : pos + 8]
+                        if chunk:
+                            pos += len(chunk)
+                            acc = int.from_bytes(chunk, "big")
+                            n = 8 * len(chunk)
+                        else:
+                            acc = 0xFF
+                            n = 8
+                    n -= 1
+                    limit -= 1
+                    if limit < 0:
+                        raise ValueError("truncated JPEG entropy data")
+                    if acc >> n:
+                        acc &= (1 << n) - 1
+                        val = p1
+                    else:
+                        val = m1
+                while k <= length:
+                    c = band[k]
+                    if c != 0:
+                        if not n:
+                            chunk = data[pos : pos + 8]
+                            if chunk:
+                                pos += len(chunk)
+                                acc = int.from_bytes(chunk, "big")
+                                n = 8 * len(chunk)
+                            else:
+                                acc = 0xFF
+                                n = 8
+                        n -= 1
+                        limit -= 1
+                        if limit < 0:
+                            raise ValueError("truncated JPEG entropy data")
+                        if acc >> n:
+                            acc &= (1 << n) - 1
+                            if (c & p1) == 0:
+                                band[k] = c + (p1 if c >= 0 else m1)
+                                dirty = True
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= length:
+                    band[k] = val
+                    dirty = True
+                k += 1
+        if eob > 0:
+            # the EOB-run tail reads exactly one correction bit per
+            # ALREADY-significant coefficient, regardless of bit values —
+            # pull all their bits in one refill-and-mask (MSB-first, same
+            # stream order). All-zero tails consume nothing.
+            nz = [i for i in range(k, length + 1) if band[i]]
+            m = len(nz)
+            if m:
+                while n < m:
+                    chunk = data[pos : pos + 8]
+                    if chunk:
+                        pos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(
+                            chunk, "big"
+                        )
+                        n += 8 * len(chunk)
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        n += 8
+                n -= m
+                bits_val = (acc >> n) & ((1 << m) - 1)
+                acc &= (1 << n) - 1
+                limit -= m
+                if limit < 0:
+                    raise ValueError("truncated JPEG entropy data")
+                if bits_val:
+                    for i, kk in enumerate(nz):
+                        if (bits_val >> (m - 1 - i)) & 1:
+                            c = band[kk]
+                            if (c & p1) == 0:
+                                band[kk] = c + (p1 if c >= 0 else m1)
+                                dirty = True
+            eob -= 1
+        if dirty:
+            block[ss : se + 1] = band
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
