@@ -36,10 +36,22 @@ def connected_components(
     ).distinct()
     edges = edges.localCheckpoint()
 
+    # Round-7: the first propagation round is folded into initialization.
+    # With identity labels, round 1's neighbor-label join is just the edge
+    # list itself, so label(v) = min(v, min neighbor) is ONE aggregation
+    # over the symmetric edges — no identity-label exchange, no join, and
+    # no convergence count (an edge (a,b), a<b, always relabels b, so the
+    # first round can never be the converged one). The loop below reaches
+    # the same fixpoint: it only stops on a full no-change round, and the
+    # stable point of min-label propagation is the per-component minimum
+    # regardless of the intermediate schedule.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "_m").alias("label"),
+        )
         .localCheckpoint()
     )
 
