@@ -172,6 +172,89 @@ def aes128_decrypt_block(block: bytes, key: bytes) -> bytes:
     return _decrypt_block(block, _expand_key(key))
 
 
+def _cbc_encrypt_core(data: bytes, kw: tuple[int, ...], iv: bytes) -> bytearray:
+    """CBC over 16-byte-aligned data with the whole T-table round
+    function inlined in the block loop (round-7: state stays in four
+    int words across the stream — no per-block bytes round-trips, no
+    per-byte chaining XOR, final round unrolled). Same FIPS-197
+    semantics, pinned by the Appendix C vectors and the CBC test pins."""
+    et = _enc_tables()
+    te0, te1, te2, te3 = et["te"]
+    sbox = et["sbox"]
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    out = bytearray()
+    inner = len(kw) // 4 - 2
+    for i in range(0, len(data), 16):
+        s0 = p0 ^ int.from_bytes(data[i : i + 4], "big") ^ kw[0]
+        s1 = p1 ^ int.from_bytes(data[i + 4 : i + 8], "big") ^ kw[1]
+        s2 = p2 ^ int.from_bytes(data[i + 8 : i + 12], "big") ^ kw[2]
+        s3 = p3 ^ int.from_bytes(data[i + 12 : i + 16], "big") ^ kw[3]
+        k = 4
+        for _ in range(inner):
+            t0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 255] ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ kw[k]
+            t1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 255] ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ kw[k + 1]
+            t2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 255] ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ kw[k + 2]
+            t3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 255] ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ kw[k + 3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+            k += 4
+        p0 = ((sbox[s0 >> 24] << 24) | (sbox[(s1 >> 16) & 255] << 16)
+              | (sbox[(s2 >> 8) & 255] << 8) | sbox[s3 & 255]) ^ kw[k]
+        p1 = ((sbox[s1 >> 24] << 24) | (sbox[(s2 >> 16) & 255] << 16)
+              | (sbox[(s3 >> 8) & 255] << 8) | sbox[s0 & 255]) ^ kw[k + 1]
+        p2 = ((sbox[s2 >> 24] << 24) | (sbox[(s3 >> 16) & 255] << 16)
+              | (sbox[(s0 >> 8) & 255] << 8) | sbox[s1 & 255]) ^ kw[k + 2]
+        p3 = ((sbox[s3 >> 24] << 24) | (sbox[(s0 >> 16) & 255] << 16)
+              | (sbox[(s1 >> 8) & 255] << 8) | sbox[s2 & 255]) ^ kw[k + 3]
+        out += ((p0 << 96) | (p1 << 64) | (p2 << 32) | p3).to_bytes(16, "big")
+    return out
+
+
+def _cbc_decrypt_core(data: bytes, kwd: tuple[int, ...], iv: bytes,
+                      start: int) -> bytearray:
+    """CBC decrypt counterpart of _cbc_encrypt_core (equivalent-inverse-
+    cipher form), block loop fully inlined; `start` skips an IV prefix."""
+    dt = _dec_tables()
+    td0, td1, td2, td3 = dt["td"]
+    isb = dt["isb"]
+    p0 = int.from_bytes(iv[0:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    out = bytearray()
+    inner = len(kwd) // 4 - 2
+    for i in range(start, len(data), 16):
+        c0 = int.from_bytes(data[i : i + 4], "big")
+        c1 = int.from_bytes(data[i + 4 : i + 8], "big")
+        c2 = int.from_bytes(data[i + 8 : i + 12], "big")
+        c3 = int.from_bytes(data[i + 12 : i + 16], "big")
+        s0 = c0 ^ kwd[0]
+        s1 = c1 ^ kwd[1]
+        s2 = c2 ^ kwd[2]
+        s3 = c3 ^ kwd[3]
+        k = 4
+        for _ in range(inner):
+            t0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 255] ^ td2[(s2 >> 8) & 255] ^ td3[s1 & 255] ^ kwd[k]
+            t1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 255] ^ td2[(s3 >> 8) & 255] ^ td3[s2 & 255] ^ kwd[k + 1]
+            t2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 255] ^ td2[(s0 >> 8) & 255] ^ td3[s3 & 255] ^ kwd[k + 2]
+            t3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 255] ^ td2[(s1 >> 8) & 255] ^ td3[s0 & 255] ^ kwd[k + 3]
+            s0, s1, s2, s3 = t0, t1, t2, t3
+            k += 4
+        r0 = ((isb[s0 >> 24] << 24) | (isb[(s3 >> 16) & 255] << 16)
+              | (isb[(s2 >> 8) & 255] << 8) | isb[s1 & 255]) ^ kwd[k] ^ p0
+        r1 = ((isb[s1 >> 24] << 24) | (isb[(s0 >> 16) & 255] << 16)
+              | (isb[(s3 >> 8) & 255] << 8) | isb[s2 & 255]) ^ kwd[k + 1] ^ p1
+        r2 = ((isb[s2 >> 24] << 24) | (isb[(s1 >> 16) & 255] << 16)
+              | (isb[(s0 >> 8) & 255] << 8) | isb[s3 & 255]) ^ kwd[k + 2] ^ p2
+        r3 = ((isb[s3 >> 24] << 24) | (isb[(s2 >> 16) & 255] << 16)
+              | (isb[(s1 >> 8) & 255] << 8) | isb[s0 & 255]) ^ kwd[k + 3] ^ p3
+        out += ((r0 << 96) | (r1 << 64) | (r2 << 32) | r3).to_bytes(16, "big")
+        p0, p1, p2, p3 = c0, c1, c2, c3
+    return out
+
+
 def aes128_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     """PKCS#7-pad + CBC; returns iv + ciphertext (the PDF stream form)."""
     if len(iv) != 16:
@@ -179,13 +262,7 @@ def aes128_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     kw = _expand_key_words(bytes(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block_fast(block, kw)
-        out += prev
-    return bytes(out)
+    return bytes(iv) + bytes(_cbc_encrypt_core(data, kw, iv))
 
 
 def aes128_cbc_decrypt(data: bytes, key: bytes) -> bytes:
@@ -193,12 +270,7 @@ def aes128_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC stream length")
     kwd = _expand_key_words_dec(bytes(key))
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
-        prev = block
+    out = _cbc_decrypt_core(data, kwd, data[:16], 16)
     pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES padding (wrong key or corrupt stream)")
@@ -224,26 +296,14 @@ def aes_cbc_encrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
     if len(iv) != 16 or len(data) % 16:
         raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
     kw = _expand_key_words(bytes(key))
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block_fast(block, kw)
-        out += prev
-    return bytes(out)
+    return bytes(_cbc_encrypt_core(data, kw, iv))
 
 
 def aes_cbc_decrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
     if len(iv) != 16 or len(data) % 16:
         raise ValueError("CBC-nopad needs 16-byte-aligned data and IV")
     kwd = _expand_key_words_dec(bytes(key))
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
-        prev = block
-    return bytes(out)
+    return bytes(_cbc_decrypt_core(data, kwd, iv, 0))
 
 
 def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
@@ -254,13 +314,7 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     kw = _expand_key_words(bytes(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
-    out = bytearray(iv)
-    prev = iv
-    for i in range(0, len(data), 16):
-        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
-        prev = _encrypt_block_fast(block, kw)
-        out += prev
-    return bytes(out)
+    return bytes(iv) + bytes(_cbc_encrypt_core(data, kw, iv))
 
 
 def aes_cbc_decrypt(data: bytes, key: bytes) -> bytes:
@@ -268,12 +322,7 @@ def aes_cbc_decrypt(data: bytes, key: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         raise ValueError("bad AES-CBC stream length")
     kwd = _expand_key_words_dec(bytes(key))
-    prev = data[:16]
-    out = bytearray()
-    for i in range(16, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(block, kwd), prev))
-        prev = block
+    out = _cbc_decrypt_core(data, kwd, data[:16], 16)
     pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES padding (wrong key or corrupt stream)")
