@@ -124,41 +124,50 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     out = bytearray()
     acc = 0
     nbits = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    def fresh() -> tuple[dict[bytes, int], int, int]:
-        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
-
-    table, nxt, width = fresh()
-    emit(clear, width)
-    buf = b""
+    # Round-7: dictionary keyed by (prefix_code << 8) | next_byte instead
+    # of the prefix string (no per-byte bytes concat/hash); LSB-first
+    # accumulator drains whole bytes in bulk. Emitted codes identical —
+    # the dictionaries are isomorphic, singles implicit as code == byte.
+    table: dict[int, int] = {}
+    nxt, width = end + 1, min_code_size + 1
+    acc |= clear << nbits
+    nbits += width
+    cur = -1
     for b in indices:
-        cand = buf + bytes([b])
-        if cand in table:
-            buf = cand
+        if cur < 0:
+            cur = b
             continue
-        emit(table[buf], width)
+        code = table.get((cur << 8) | b)
+        if code is not None:
+            cur = code
+            continue
+        acc |= cur << nbits
+        nbits += width
+        if nbits >= 32:
+            nb = nbits >> 3
+            out += (acc & ((1 << (nb * 8)) - 1)).to_bytes(nb, "little")
+            acc >>= nb * 8
+            nbits &= 7
         if nxt < (1 << _MAX_CODE_WIDTH):
-            table[cand] = nxt
+            table[(cur << 8) | b] = nxt
             nxt += 1
             if nxt == (1 << width) + 1 and width < _MAX_CODE_WIDTH:
                 width += 1
         else:  # table full: reset, same as every mainstream encoder
-            emit(clear, width)
-            table, nxt, width = fresh()
-        buf = bytes([b])
-    if buf:
-        emit(table[buf], width)
-    emit(end, width)
-    if nbits:
+            acc |= clear << nbits
+            nbits += width
+            table = {}
+            nxt, width = end + 1, min_code_size + 1
+        cur = b
+    if cur >= 0:
+        acc |= cur << nbits
+        nbits += width
+    acc |= end << nbits
+    nbits += width
+    nb = nbits >> 3
+    out += (acc & ((1 << (nb * 8)) - 1)).to_bytes(nb, "little")
+    acc >>= nb * 8
+    if nbits & 7:
         out.append(acc & 0xFF)
     return bytes(out)
 

@@ -33,44 +33,55 @@ _CLEAR, _EOI = 256, 257
 
 def _lzw_encode(data: bytes) -> bytes:
     """TIFF-flavor LZW: MSB-first packing, early width change (bump when
-    the next free code reaches 1<<width), ClearCode at 4094 entries."""
+    the next free code reaches 1<<width), ClearCode at 4094 entries.
+
+    Round-7: the dictionary is keyed by (prefix_code << 8) | next_byte
+    instead of the prefix STRING — no per-byte bytes concat/hash — and
+    the bit accumulator drains whole bytes in bulk. Codes emitted are
+    identical (the dictionaries are isomorphic; singles are implicit as
+    code == byte)."""
     out = bytearray()
     acc = 0
     nbits = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc = (acc << width) | code
-        nbits += width
-        while nbits >= 8:
-            out.append((acc >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-
-    def fresh() -> tuple[dict[bytes, int], int, int]:
-        return {bytes([i]): i for i in range(256)}, 258, 9
-
-    table, nxt, width = fresh()
-    emit(_CLEAR, width)
-    buf = b""
+    table: dict[int, int] = {}
+    nxt, width = 258, 9
+    acc = (acc << width) | _CLEAR
+    nbits += width
+    cur = -1
     for b in data:
-        cand = buf + bytes([b])
-        if cand in table:
-            buf = cand
+        if cur < 0:
+            cur = b
             continue
-        emit(table[buf], width)
-        table[cand] = nxt
+        code = table.get((cur << 8) | b)
+        if code is not None:
+            cur = code
+            continue
+        acc = (acc << width) | cur
+        nbits += width
+        if nbits >= 32:
+            keep = nbits & 7
+            out += (acc >> keep).to_bytes((nbits - keep) >> 3, "big")
+            acc &= (1 << keep) - 1
+            nbits = keep
+        table[(cur << 8) | b] = nxt
         nxt += 1
         if nxt == (1 << width) and width < _MAX_W:
             width += 1
-        buf = bytes([b])
+        cur = b
         if nxt >= 4094:  # spec: clear before the 12-bit table overflows
-            emit(_CLEAR, width)
-            table, nxt, width = fresh()
-    if buf:
-        emit(table[buf], width)
-    emit(_EOI, width)
-    if nbits:
-        out.append((acc << (8 - nbits)) & 0xFF)
+            acc = (acc << width) | _CLEAR
+            nbits += width
+            table = {}
+            nxt, width = 258, 9
+    if cur >= 0:
+        acc = (acc << width) | cur
+        nbits += width
+    acc = (acc << width) | _EOI
+    nbits += width
+    keep = nbits & 7
+    out += (acc >> keep).to_bytes((nbits - keep) >> 3, "big")
+    if keep:
+        out.append(((acc & ((1 << keep) - 1)) << (8 - keep)) & 0xFF)
     return bytes(out)
 
 
