@@ -456,12 +456,15 @@ def _enc_dc_first(block: np.ndarray, pred: int, dc: dict, al: int,
     return v
 
 
-def _scan_enc_ac_first(blocks, ss: int, se: int, al: int, ac: dict,
+def _scan_enc_ac_first(bands, ss: int, se: int, al: int, ac: dict,
                        bw: _BitWriter) -> None:
-    """Whole-scan progressive AC-first encoder: the bit writer's
-    accumulator and the EOB run live in locals across every block of the
-    scan (round-7 second pass — put() call overhead was a third of the
-    encode wall). Emitted bits identical to the per-block form."""
+    """Whole-scan progressive AC-first encoder over the scan's band
+    MATRIX (one row per block): the bit writer's accumulator and the EOB
+    run live in locals across every block, and the point transform /
+    nonzero map / value lists for the whole scan come from four
+    vectorized ops (round-7 second pass — put() call overhead and the
+    per-block numpy prep were most of the encode wall). Emitted bits
+    identical to the per-block form."""
     buf = bw.buf
     acc = bw.acc
     n = bw.n
@@ -479,33 +482,41 @@ def _scan_enc_ac_first(blocks, ss: int, se: int, al: int, ac: dict,
             n += rr
         eobrun = 0
 
-    for block in blocks:
-        raw = block[ss : se + 1]
-        if not raw.any():  # all-zero band: one eobrun increment, no numpy
-            eobrun += 1
+    def add_eobrun(gap):
+        # bulk EOB-run accumulation over a run of all-zero bands; flush
+        # points identical to +1 increments (only exactly 0x7FFF fires)
+        nonlocal eobrun
+        while gap:
+            step = min(gap, 0x7FFF - eobrun)
+            eobrun += step
+            gap -= step
             if eobrun == 0x7FFF:
                 flush_eob()
-            continue
-        blk = np.asarray(raw, dtype=np.int64)
-        t_all = np.where(blk >= 0, blk >> al, -((-blk) >> al))
-        nz = np.flatnonzero(t_all)
-        if len(nz) == 0:
-            eobrun += 1
-            if eobrun == 0x7FFF:
-                flush_eob()
-            continue
+
+    # whole-scan band math: the point transform, the nonzero map and the
+    # value/column lists for EVERY block come from four vectorized ops
+    # instead of per-block any/asarray/where/flatnonzero/tolist chains
+    t2 = np.where(bands >= 0, bands >> al, -((-bands) >> al)) if al else bands
+    rnz, cnz = np.nonzero(t2)
+    starts = np.searchsorted(rnz, np.arange(len(bands) + 1)).tolist()
+    cols = cnz.tolist()
+    vals = t2[rnz, cnz].tolist()
+    prev_u = -1
+    for u in np.unique(rnz).tolist():
+        add_eobrun(u - prev_u - 1)
+        prev_u = u
         if eobrun:
             flush_eob()
-        tl = t_all.tolist()
         prev = -1
-        for idx in nz.tolist():
+        for j in range(starts[u], starts[u + 1]):
+            idx = cols[j]
             r = idx - prev - 1
             while r > 15:
                 code, ln = ac[0xF0]  # ZRL
                 acc = (acc << ln) | code
                 n += ln
                 r -= 16
-            t = tl[idx]
+            t = vals[j]
             s = abs(t).bit_length()
             code, ln = ac[(r << 4) | s]
             acc = (acc << (ln + s)) | (code << s) | (
@@ -525,6 +536,7 @@ def _scan_enc_ac_first(blocks, ss: int, se: int, al: int, ac: dict,
             eobrun += 1
             if eobrun == 0x7FFF:
                 flush_eob()
+    add_eobrun(len(bands) - prev_u - 1)
     if eobrun:
         flush_eob()
     bw.acc = acc
@@ -533,7 +545,7 @@ def _scan_enc_ac_first(blocks, ss: int, se: int, al: int, ac: dict,
         bw._drain()
 
 
-def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
+def _scan_enc_ac_refine(bands, ss: int, se: int, al: int, ac: dict,
                         bw: _BitWriter) -> None:
     """Whole-scan progressive AC-refine encoder (libjpeg
     encode_mcu_AC_refine, T.81 G.1.2.3 fig. G.7), exactly:
@@ -546,7 +558,9 @@ def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
     folds into the EOB instead. Getting this ordering wrong desyncs the
     decoder's correction-bit stream (found the hard way). Round-7 second
     pass: bit writer, EOB run and pending correction bits live in locals
-    across the whole scan; emitted bits identical."""
+    across the whole scan, and the scan's magnitude/nonzero/sign/EOB-
+    position tables come from five vectorized ops over the band MATRIX
+    (one row per block); emitted bits identical."""
     buf = bw.buf
     acc = bw.acc
     n = bw.n
@@ -581,32 +595,40 @@ def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
             acc &= (1 << keep) - 1
             n = keep
 
-    for block in blocks:
-        raw = block[ss : se + 1]
-        if not raw.any():  # all-zero band: one eobrun increment, no numpy
-            eobrun += 1
-            if eobrun == 0x7FFF or len(be_bits) > 900:
+    def add_eobrun(gap):
+        # bulk EOB-run accumulation over a run of all-zero bands; flush
+        # points identical to +1 increments: only exactly 0x7FFF can
+        # trigger here, because every block exit leaves be_bits <= 900
+        nonlocal eobrun
+        while gap:
+            step = min(gap, 0x7FFF - eobrun)
+            eobrun += step
+            gap -= step
+            if eobrun == 0x7FFF:
                 flush_eob()
-            continue
-        blk = np.abs(np.asarray(raw, dtype=np.int64)) >> al
-        nzl = np.flatnonzero(blk)
-        if len(nzl) == 0:
-            eobrun += 1
-            if eobrun == 0x7FFF or len(be_bits) > 900:
-                flush_eob()
-            continue
-        ones = np.flatnonzero(blk == 1)
-        eob_pos = ss + int(ones[-1]) if len(ones) else ss - 1
-        absv = blk.tolist()
-        rawl = raw.tolist()
+
+    blk2 = (np.abs(bands) >> al) if al else np.abs(bands)
+    rnz, cnz = np.nonzero(blk2)
+    starts = np.searchsorted(rnz, np.arange(len(bands) + 1)).tolist()
+    cols = cnz.tolist()
+    tvals = blk2[rnz, cnz].tolist()
+    signs = (bands[rnz, cnz] >= 0).tolist()
+    # per block: the LAST position whose magnitude is exactly 1 — the
+    # final newly-significant coefficient, past which ZRLs must not run
+    m1 = np.where(blk2 == 1, np.arange(bands.shape[1]), -1).max(axis=1).tolist()
+    prev_u = -1
+    for u in np.unique(rnz).tolist():
+        add_eobrun(u - prev_u - 1)
+        prev_u = u
+        eob_pos = ss + m1[u] if m1[u] >= 0 else ss - 1
         br_bits: list[int] = []
         r = 0
         prev = ss - 1
-        for idx in nzl.tolist():
-            k = ss + idx
+        for j in range(starts[u], starts[u + 1]):
+            k = ss + cols[j]
             r += k - prev - 1  # zeros skipped since the previous nonzero
             prev = k
-            t = absv[idx]
+            t = tvals[j]
             while r > 15 and k <= eob_pos:
                 if eobrun:
                     flush_eob()
@@ -632,7 +654,7 @@ def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
             if eobrun:
                 flush_eob()
             code, ln = ac[(r << 4) | 1]
-            acc = (acc << (ln + 1)) | (code << 1) | (1 if rawl[idx] >= 0 else 0)
+            acc = (acc << (ln + 1)) | (code << 1) | (1 if signs[j] else 0)
             n += ln + 1
             for bit in br_bits:
                 acc = (acc << 1) | bit
@@ -653,6 +675,7 @@ def _scan_enc_ac_refine(blocks, ss: int, se: int, al: int, ac: dict,
             be_bits.extend(br_bits)
             if eobrun == 0x7FFF or len(be_bits) > 900:
                 flush_eob()
+    add_eobrun(len(bands) - prev_u - 1)
     if eobrun:
         flush_eob()
     bw.acc = acc
@@ -760,15 +783,20 @@ def _encode_progressive(arr, color, h, w, subsample, ql, qc) -> bytes:
             info = comps_info[ci]
             eff_bw, sbw = info["eff_bw"], info["store_bw"]
             if ss > 0:
-                # AC scans: whole-scan encoders with the writer in locals
-                blocks = [
-                    info["zz"][(u // eff_bw) * sbw + (u % eff_bw)]
-                    for u in range(eff_bw * info["eff_bh"])
-                ]
-                if ah == 0:
-                    _scan_enc_ac_first(blocks, ss, se, al, prog_ac, bw_w)
+                # AC scans: whole-scan encoders with the writer in locals;
+                # the band matrix is gathered once for the whole scan
+                n_blk = eff_bw * info["eff_bh"]
+                if eff_bw == sbw:
+                    band2 = info["zz"][:n_blk, ss : se + 1]
                 else:
-                    _scan_enc_ac_refine(blocks, ss, se, al, prog_ac, bw_w)
+                    rows = [
+                        (u // eff_bw) * sbw + (u % eff_bw) for u in range(n_blk)
+                    ]
+                    band2 = info["zz"][rows][:, ss : se + 1]
+                if ah == 0:
+                    _scan_enc_ac_first(band2, ss, se, al, prog_ac, bw_w)
+                else:
+                    _scan_enc_ac_refine(band2, ss, se, al, prog_ac, bw_w)
             else:
                 pred = 0
                 for u in range(eff_bw * info["eff_bh"]):
