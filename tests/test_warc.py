@@ -120,3 +120,33 @@ def test_url_normalize_and_host_stats(spark):
     assert ex["n_fetches"] == 3 and ex["n_urls"] == 2
     assert abs(ex["ok_rate"] - 2 / 3) < 1e-9
     assert stats["other.test"]["n_fetches"] == 1
+
+
+def test_warc_folder_size_guard_quarantines_oversized(spark, tmp_path):
+    """VERDICT r6 item: an archive over max_archive_bytes must become ONE
+    decode_ok=false row (executor-OOM guard) while small archives still
+    parse; the guard rides binaryFile's pushed-down `length` column."""
+    from vietnamese_ocr_spark.sources.warc import read_warc_folder
+
+    small = warc_encode(RECS[:1])
+    (tmp_path / "small.warc").write_bytes(small)
+    big = warc_encode(RECS)
+    (tmp_path / "big.warc").write_bytes(big)
+    assert len(big) > len(small)
+
+    rows = read_warc_folder(
+        spark, str(tmp_path), max_archive_bytes=len(small)
+    ).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["warc_file"], []).append(r)
+    # the small archive parses normally
+    assert all(r["decode_ok"] for r in by_file["small.warc"])
+    # the oversized archive quarantines as exactly one marker row
+    (q,) = by_file["big.warc"]
+    assert q["decode_ok"] is False and q["record_id"] is None
+    assert q["body"] is None
+    # default cap leaves both archives fully parsed
+    n_default = read_warc_folder(spark, str(tmp_path)).count()
+    expected_big = len(warc_response_rows("big.warc", big))
+    assert n_default == len(by_file["small.warc"]) + expected_big

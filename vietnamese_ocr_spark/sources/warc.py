@@ -32,6 +32,7 @@ import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 WARC_DDL = (
     "warc_file string, record_id string, target_uri string, "
@@ -182,18 +183,31 @@ def warc_response_rows(warc_file: str, data: bytes) -> list[dict]:
     return rows
 
 
-def read_warc_folder(spark: SparkSession, directory: str) -> DataFrame:
+def read_warc_folder(
+    spark: SparkSession, directory: str, max_archive_bytes: int = 8 << 30
+) -> DataFrame:
     """Directory of .warc/.warc.gz -> one row per HTTP response record.
 
     binaryFile gives one input split per archive (the WARC unit of
-    parallelism); parsing runs in-executor via mapInPandas."""
+    parallelism); parsing runs in-executor via mapInPandas.
+
+    Each archive is held whole in one task, so per-task memory is
+    bounded by archive size. `max_archive_bytes` (default 8 GiB —
+    crawl archives are cut at ~1 GiB by convention) quarantines a
+    pathological multi-GB file as one decode_ok=false row instead of
+    risking an executor OOM; the filter rides binaryFile's `length`
+    column, which is pushed down to the file listing, so an oversized
+    archive's bytes are never read at all."""
     import pandas as pd
 
-    raw = (
+    listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.{warc,warc.gz}")
         .option("recursiveFileLookup", "true")
         .load(directory)
+    )
+    raw = (
+        listing.filter(F.col("length") <= max_archive_bytes)
         .select("path", "content")
     )
 
@@ -207,7 +221,20 @@ def read_warc_folder(spark: SparkSession, directory: str) -> DataFrame:
                 rows.extend(warc_response_rows(name, bytes(content)))
             yield pd.DataFrame(rows, columns=cols)
 
-    return raw.mapInPandas(stage, WARC_DDL)
+    parsed = raw.mapInPandas(stage, WARC_DDL)
+    oversized = (
+        listing.filter(F.col("length") > max_archive_bytes)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("warc_file"),
+            F.lit(None).cast("string").alias("record_id"),
+            F.lit(None).cast("string").alias("target_uri"),
+            F.lit(None).cast("int").alias("http_status"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(False).alias("decode_ok"),
+            F.lit(None).cast("string").alias("body"),
+        )
+    )
+    return parsed.unionByName(oversized)
 
 
 def warc_documents(responses: DataFrame) -> DataFrame:
