@@ -990,33 +990,48 @@ def _scan_dec_baseline(seq, segs, restart_interval, n_comps) -> None:
             else:
                 acc = (acc << 8) | 0xFF
                 n += 8
-        e = dc_lut[(acc >> (n - 16)) & 0xFFFF]
+        p16 = (acc >> (n - 16)) & 0xFFFF
+        e = dc_lut[p16]
         if e == 0:
             raise ValueError("invalid Huffman code")
         ln = e >> 8
-        n -= ln
-        acc &= (1 << n) - 1
-        limit -= ln
-        if limit < 0:
-            raise ValueError("truncated JPEG entropy data")
         s = e & 0xFF
-        if s:
-            while n < s:
-                chunk = data[pos : pos + 8]
-                if chunk:
-                    pos += len(chunk)
-                    acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
-                    n += 8 * len(chunk)
-                else:
-                    acc = (acc << 8) | 0xFF
-                    n += 8
-            n -= s
-            v = (acc >> n) & ((1 << s) - 1)
+        if s and ln + s <= 16:
+            # fast path (third pass): the peek that matched the code also
+            # holds the magnitude bits — one consume round (see AC loop)
+            tot = ln + s
+            n -= tot
             acc &= (1 << n) - 1
-            limit -= s
+            limit -= tot
             if limit < 0:
                 raise ValueError("truncated JPEG entropy data")
+            v = (p16 >> (16 - tot)) & ((1 << s) - 1)
             preds[si] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        else:
+            n -= ln
+            acc &= (1 << n) - 1
+            limit -= ln
+            if limit < 0:
+                raise ValueError("truncated JPEG entropy data")
+            if s:
+                while n < s:
+                    chunk = data[pos : pos + 8]
+                    if chunk:
+                        pos += len(chunk)
+                        acc = (acc << (8 * len(chunk))) | int.from_bytes(
+                            chunk, "big"
+                        )
+                        n += 8 * len(chunk)
+                    else:
+                        acc = (acc << 8) | 0xFF
+                        n += 8
+                n -= s
+                v = (acc >> n) & ((1 << s) - 1)
+                acc &= (1 << n) - 1
+                limit -= s
+                if limit < 0:
+                    raise ValueError("truncated JPEG entropy data")
+                preds[si] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
         zz[0] = preds[si]
         k = 1
         while k < 64:
@@ -1029,17 +1044,34 @@ def _scan_dec_baseline(seq, segs, restart_interval, n_comps) -> None:
                 else:
                     acc = (acc << 8) | 0xFF
                     n += 8
-            e = ac_lut[(acc >> (n - 16)) & 0xFFFF]
+            p16 = (acc >> (n - 16)) & 0xFFFF
+            e = ac_lut[p16]
             if e == 0:
                 raise ValueError("invalid Huffman code")
             ln = e >> 8
+            sym = e & 0xFF
+            size = sym & 0x0F
+            if size and ln + size <= 16:
+                # fast path (third pass): magnitude bits are already in
+                # the 16-bit peek — one consume round (see AC-first)
+                tot = ln + size
+                n -= tot
+                acc &= (1 << n) - 1
+                limit -= tot
+                if limit < 0:
+                    raise ValueError("truncated JPEG entropy data")
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                v = (p16 >> (16 - tot)) & ((1 << size) - 1)
+                zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                k += 1
+                continue
             n -= ln
             acc &= (1 << n) - 1
             limit -= ln
             if limit < 0:
                 raise ValueError("truncated JPEG entropy data")
-            sym = e & 0xFF
-            size = sym & 0x0F
             if size == 0:
                 if sym == 0xF0:
                     k += 16  # ZRL
@@ -1230,17 +1262,36 @@ def _scan_dec_ac_first(blocks, segs, restart_interval, lut, ss, se, al) -> None:
                 else:
                     acc = (acc << 8) | 0xFF
                     n += 8
-            e = lut[(acc >> (n - 16)) & 0xFFFF]
+            p16 = (acc >> (n - 16)) & 0xFFFF
+            e = lut[p16]
             if e == 0:
                 raise ValueError("invalid Huffman code")
             ln = e >> 8
+            sym = e & 0xFF
+            r, s = sym >> 4, sym & 0x0F
+            # fast path (third pass): the 16-bit peek that matched the
+            # Huffman code also contains the magnitude bits whenever
+            # code_len + size <= 16, so symbol AND value consume in ONE
+            # round — no second refill/mask. Same bits, same order.
+            if s and ln + s <= 16:
+                tot = ln + s
+                n -= tot
+                acc &= (1 << n) - 1
+                limit -= tot
+                if limit < 0:
+                    raise ValueError("truncated JPEG entropy data")
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band")
+                v = (p16 >> (16 - tot)) & ((1 << s) - 1)
+                block[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+                k += 1
+                continue
             n -= ln
             acc &= (1 << n) - 1
             limit -= ln
             if limit < 0:
                 raise ValueError("truncated JPEG entropy data")
-            sym = e & 0xFF
-            r, s = sym >> 4, sym & 0x0F
             if s == 0:
                 if r == 15:
                     k += 16  # ZRL
