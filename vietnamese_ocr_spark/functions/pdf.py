@@ -324,7 +324,6 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-@functools.lru_cache(maxsize=64)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 Algorithm 2.B (the R6 hardened password hash):
     iterated SHA-256/384/512 selected by an AES-128-CBC mixing step;
