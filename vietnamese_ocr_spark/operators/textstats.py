@@ -198,9 +198,26 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
     bigrams — map-side combined), one broadcastable 1-row vocab size,
     then per-doc terms join the count tables ON THEIR KEYS (shuffle
     joins on word/bigram, never a cross product) and reduce per doc.
-    Pure Column expressions end to end — zero Python."""
-    from .dedup import add_shingles
 
+    Round-7 third pass (same moves as the dedup family, guide
+    §2.4/§4.2): the input is re-spread before the CPU-heavy
+    projections (a single-row-group bench table otherwise serializes
+    them on one core; no-op on real many-split tables); the bigram
+    occurrence rows come from one Python pass in mapInPandas instead
+    of the interpreted higher-order add_shingles transform (identical
+    strings: ws[i] + " " + ws[i+1] over the same single-space split,
+    docs with <2 words or NULL text contribute nothing, exactly like
+    explode over the old when/otherwise([])); and the bigram table is
+    persisted because two subtrees consume it (the corpus bigram
+    counts and the per-doc terms join) — it was recomputed end to end
+    for each before. Outputs are unchanged (oracle-pinned)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .dedup import _persist_tracked, _spread
+
+    docs = _spread(docs)
     w = docs.select("doc_id", F.split("text", " ").alias("ws"))
     uni = (
         w.select(F.explode("ws").alias("w"))
@@ -208,11 +225,26 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     vrow = uni.agg(F.count("*").alias("v"))  # vocab size (1 row, broadcast)
-    bi = (
-        add_shingles(docs, 2)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .withColumn("w1", F.split("s", " ")[0])
-    )
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    bi_schema = f"doc_id {id_type}, s string, w1 string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            ss: list[str] = []
+            w1s: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                if text is None:
+                    continue
+                ws = text.split(" ")
+                for i in range(len(ws) - 1):
+                    ids.append(doc_id)
+                    ss.append(ws[i] + " " + ws[i + 1])
+                    w1s.append(ws[i])
+            yield pd.DataFrame({"doc_id": ids, "s": ss, "w1": w1s})
+
+    bi = _persist_tracked(docs.select("doc_id", "text").mapInPandas(gen, bi_schema))
     bc = bi.groupBy("s").agg(F.count("*").alias("c12"))
     terms = (
         bi.join(bc, "s")
